@@ -1,0 +1,171 @@
+"""Set-overlap queries: J6 pairwise overlap, J7 overlap matrix, J4 exclusives.
+
+The reference computes these with Python set ops on collected id lists
+(api.py:1471-1504, 1556-1615) — single-node and O(N) driver memory. Here
+the sets stay distributed: distinct → join → count, and the N×N matrix is
+ONE self-join + one groupBy (one shuffle for all pairs), per SURVEY §2.6 J7.
+
+At 100 TB the (key, user) distinct sets would be bucketed by user_id so the
+self-join is co-located; with ~5 group keys the matrix agg output is tiny
+regardless of input scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from holochatstats_spark.functions.core import pct_round
+from holochatstats_spark.queries import register
+from holochatstats_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# J6 — pairwise overlap with both-direction percentages (reference
+# get_common_users api.py:1471-1504).
+# ---------------------------------------------------------------------------
+@register(
+    "common_users",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         x AS (SELECT COUNT(*) AS n_common FROM a JOIN b USING (user_id))
+    SELECT x.n_common,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           FLOOR((x.n_common * 100.0 / NULLIF(CAST((SELECT COUNT(*) FROM a) AS DOUBLE), 0)) * 100 + 0.5) / 100 AS pct_of_a,
+           FLOOR((x.n_common * 100.0 / NULLIF(CAST((SELECT COUNT(*) FROM b) AS DOUBLE), 0)) * 100 + 0.5) / 100 AS pct_of_b
+    FROM x
+    """,
+    survey="J6,2.8",
+)
+def common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    a, b = users_of("click"), users_of("purchase")
+    n_a, n_b = a.count(), b.count()
+    n_common = a.join(b, "user_id", "inner").count()
+
+    def _pct(num: int, den: int) -> float | None:
+        # floor-based half-up rounding, bit-identical to the oracle's
+        # FLOOR((n*100.0/d)*100 + 0.5)/100 (Python floats are IEEE doubles)
+        return math.floor((num * 100.0 / den) * 100 + 0.5) / 100 if den else None
+
+    row = (n_common, n_a, n_b, _pct(n_common, n_a), _pct(n_common, n_b))
+    return spark.createDataFrame(
+        [row],
+        "n_common bigint, n_a bigint, n_b bigint, pct_of_a double, pct_of_b double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — N×N overlap matrix as one self-join (reference builds it with N²
+# Python set intersections, api.py:1556-1615).
+# ---------------------------------------------------------------------------
+@register(
+    "overlap_matrix",
+    oracle="""
+    WITH membership AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM membership GROUP BY event_type
+    ), pairs AS (
+      SELECT m1.event_type AS type_a, m2.event_type AS type_b, COUNT(*) AS n_common
+      FROM membership m1 JOIN membership m2 USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_common,
+           FLOOR((p.n_common * 100.0 / NULLIF(CAST(s.n AS DOUBLE), 0)) * 100 + 0.5) / 100 AS pct_of_a
+    FROM pairs p JOIN sizes s ON s.event_type = p.type_a
+    ORDER BY p.type_a, p.type_b
+    """,
+    survey="J7,A8",
+    tags=("bench",),
+)
+def overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs in one shuffle: distinct (type, user) self-joined on user.
+    Per-user fanout is bounded by #types (5), so no skew blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    membership = ev.select("event_type", "user_id").distinct()
+    sizes = membership.groupBy("event_type").agg(F.count("*").alias("n"))
+    m1 = membership.alias("m1")
+    m2 = membership.alias("m2")
+    pairs = (
+        m1.join(m2, "user_id")
+        .groupBy(
+            F.col("m1.event_type").alias("type_a"),
+            F.col("m2.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes), pairs.type_a == sizes.event_type)
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            pct_round(F.col("n_common"), F.col("n")).alias("pct_of_a"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/A8 — exclusive users: users whose activity is confined to one key
+# (reference get_exclusive_chat_users api.py:2176-2251, implemented clean —
+# the reference's MV-column bug is documented in SURVEY §2.6 J4).
+# ---------------------------------------------------------------------------
+@register(
+    "exclusive_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(event_type) AS only_type,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    ), exclusives AS (
+      SELECT only_type AS event_type, COUNT(*) AS n_exclusive
+      FROM per_user WHERE n_types = 1 GROUP BY only_type
+    ), totals AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_total FROM events GROUP BY event_type
+    )
+    SELECT t.event_type,
+           CAST(COALESCE(e.n_exclusive, 0) AS BIGINT) AS n_exclusive,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           FLOOR((COALESCE(e.n_exclusive, 0) * 100.0 / NULLIF(CAST(t.n_total AS DOUBLE), 0)) * 100 + 0.5) / 100 AS pct_exclusive
+    FROM totals t LEFT JOIN exclusives e ON e.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+    survey="J4,A8",
+)
+def exclusive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("event_type").alias("only_type"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    exclusives = (
+        per_user.where(F.col("n_types") == 1)
+        .groupBy(F.col("only_type").alias("event_type"))
+        .agg(F.count("*").alias("n_exclusive"))
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_total")
+    )
+    return (
+        totals.join(exclusives, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_exclusive"), F.lit(0)).cast("bigint").alias("n_exclusive"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            pct_round(F.coalesce(F.col("n_exclusive"), F.lit(0)), F.col("n_total")).alias(
+                "pct_exclusive"
+            ),
+        )
+        .orderBy("event_type")
+    )

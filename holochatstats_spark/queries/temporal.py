@@ -1,0 +1,359 @@
+"""Temporal & window-function queries: W1/W2/W4, J2/J3, V11/V12.
+
+events span one month → daily/weekly grain; orders span 1995-2001 →
+monthly grain (the reference's native grain, SURVEY.md §2.5-2.6).
+
+Scale note shared by all window queries here: windows are applied AFTER a
+groupBy reduced the frame to per-key cardinality, or partitioned by a
+high-cardinality key (user_id) — never an unpartitioned window over a fact
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from holochatstats_spark.functions.core import month_str, pct_round, round2
+from holochatstats_spark.queries import register
+from holochatstats_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# W1 — latest-row-per-key dedup with rank-class priority (reference
+# membership refresh ROW_NUMBER OVER (PARTITION BY user, channel ORDER BY
+# CASE rank-class END, ts DESC), queries.py:138-160).
+# ---------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CASE event_type
+                          WHEN 'purchase' THEN 0
+                          WHEN 'signup' THEN 1
+                          ELSE 2 END ASC,
+                        ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           ROUND(value, 2) AS value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    survey="W1",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prio = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "signup", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        prio.asc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            round2(F.col("value")).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — LAG transition detection (reference membership gain/loss,
+# api.py:1866-1917): per user, count transitions into 'error' from a
+# non-error event.
+# ---------------------------------------------------------------------------
+@register(
+    "error_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'error'
+                          AND prev_type IS NOT NULL
+                          AND prev_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_error_transitions
+    FROM seq
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'error' AND prev_type IS NOT NULL
+                     AND prev_type <> 'error' THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+    survey="W2,A7",
+)
+def error_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_transition = (
+        (F.col("event_type") == "error")
+        & F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != "error")
+    )
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum(is_transition.cast("int")).cast("bigint").alias("n_error_transitions")
+        )
+        .where(F.col("n_error_transitions") > 0)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — month-over-month diff, expressed as LAG over the monthly aggregate
+# (the reference does a shifted self-join, api.py:1982-2003; SURVEY.md notes
+# lag is the equivalent, cheaper plan — one shuffle instead of two).
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_revenue_diff",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(o_totalprice) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           ROUND(total, 2) AS total_price,
+           ROUND(total - LAG(total) OVER (ORDER BY month), 2) AS diff_vs_prev
+    FROM monthly
+    ORDER BY month
+    """,
+    survey="J2,A4,F8",
+    tags=("bench",),
+)
+def monthly_revenue_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over the ~80-row monthly aggregate — the unpartitioned window
+    never sees the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(month_str(F.col("o_orderdate")).alias("month")).agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    w = Window.partitionBy().orderBy("month")
+    return monthly.select(
+        "month",
+        round2(F.col("total")).alias("total_price"),
+        round2(F.col("total") - F.lag("total").over(w)).alias("diff_vs_prev"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# W4 — latest-record selection via window max (reference latest-forecast
+# scalar subquery api.py:1196-1201, manually decorrelated per SURVEY §4).
+# ---------------------------------------------------------------------------
+@register(
+    "latest_order_per_customer",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+           ROUND(o_totalprice, 2) AS last_total_price
+    FROM ranked WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    survey="W4,W1",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
+            round2(F.col("o_totalprice")).alias("last_total_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — period-over-period user churn with CLEAN gain/loss semantics
+# (left_anti both directions — the reference's version has a counting bug,
+# api.py:2141-2150 vs README.md:30; see SURVEY §2.6 J3).
+# ---------------------------------------------------------------------------
+@register(
+    "user_changes",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id FROM events
+      WHERE date_part('day', ts) BETWEEN 1 AND 7
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    ), w2 AS (
+      SELECT user_id FROM events
+      WHERE date_part('day', ts) BETWEEN 8 AND 14
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM w2 WHERE user_id NOT IN (SELECT user_id FROM w1)) AS BIGINT) AS users_gained,
+      CAST((SELECT COUNT(*) FROM w1 WHERE user_id NOT IN (SELECT user_id FROM w2)) AS BIGINT) AS users_lost,
+      CAST((SELECT COUNT(*) FROM w1 WHERE user_id IN (SELECT user_id FROM w2)) AS BIGINT) AS users_retained
+    """,
+    survey="J3,A7",
+)
+def user_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def active(d_lo: int, d_hi: int) -> DataFrame:
+        return (
+            ev.where(F.dayofmonth("ts").between(d_lo, d_hi))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 2)
+            .select("user_id")
+        )
+
+    w1, w2 = active(1, 7), active(8, 14)
+    gained = w2.join(w1, "user_id", "left_anti").count()
+    lost = w1.join(w2, "user_id", "left_anti").count()
+    retained = w1.join(w2, "user_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(gained, lost, retained)],
+        "users_gained bigint, users_lost bigint, users_retained bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# V11 — time-spine gap fill (reference month reindex + fillna,
+# forecaster.py:164-176): full month spine × priority, zero-filled.
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_spine_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+             date_trunc('month', MAX(o_orderdate)) AS mx
+      FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS m FROM bounds
+    ), prios AS (
+      SELECT DISTINCT o_orderpriority FROM orders
+    ), sums AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS m,
+             SUM(o_totalprice) AS s, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT p.o_orderpriority,
+           strftime(sp.m, '%Y-%m') AS month,
+           ROUND(COALESCE(s.s, 0), 2) AS total_price,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_orders
+    FROM spine sp
+    CROSS JOIN prios p
+    LEFT JOIN sums s ON s.o_orderpriority = p.o_orderpriority AND s.m = sp.m
+    ORDER BY p.o_orderpriority, month
+    """,
+    survey="V11,F8,J8",
+)
+def monthly_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spine = sequence() over the 1-row min/max aggregate, exploded, then
+    cross-joined with the tiny priority dim — both sides broadcastable, so
+    the only shuffle is the monthly aggregate itself."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 MONTH"))
+        ).alias("m")
+    )
+    prios = o.select("o_orderpriority").distinct()
+    sums = o.groupBy(
+        "o_orderpriority", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.sum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(prios))
+        .join(sums, ["o_orderpriority", "m"], "left")
+        .select(
+            "o_orderpriority",
+            F.date_format("m", "yyyy-MM").alias("month"),
+            round2(F.coalesce(F.col("s"), F.lit(0.0))).alias("total_price"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V12 — attrition/retention, de-looped (reference runs one query per month,
+# api.py:2429-2454; here one grouped agg over all periods at once).
+# ---------------------------------------------------------------------------
+@register(
+    "weekly_attrition",
+    oracle="""
+    WITH baseline AS (
+      SELECT user_id FROM events
+      WHERE date_part('day', ts) BETWEEN 1 AND 7
+      GROUP BY user_id
+      ORDER BY COUNT(*) DESC, user_id ASC
+      LIMIT 50
+    ), weekly AS (
+      SELECT DISTINCT
+             CAST(FLOOR((date_part('day', ts) - 1) / 7) + 1 AS BIGINT) AS week,
+             user_id
+      FROM events
+      WHERE date_part('day', ts) <= 28
+    )
+    SELECT w.week,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active,
+           ROUND(COUNT(DISTINCT w.user_id) * 100.0 / 50, 2) AS pct_retained
+    FROM weekly w
+    WHERE w.user_id IN (SELECT user_id FROM baseline) AND w.week >= 2
+    GROUP BY w.week
+    ORDER BY w.week
+    """,
+    survey="V12,J5,T2",
+)
+def weekly_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    baseline = (
+        ev.where(F.dayofmonth("ts").between(1, 7))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(50)
+        .select("user_id")
+    )
+    weekly = (
+        ev.where(F.dayofmonth("ts") <= 28)
+        .select(
+            (F.floor((F.dayofmonth("ts") - 1) / 7) + 1).cast("bigint").alias("week"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        weekly.join(F.broadcast(baseline), "user_id", "left_semi")
+        .where(F.col("week") >= 2)
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "week",
+            "n_active",
+            F.round(F.col("n_active") * 100.0 / 50, 2).alias("pct_retained"),
+        )
+        .orderBy("week")
+    )

@@ -1,0 +1,517 @@
+"""Text-analysis & dedup operators over the `documents` table — the
+training-data-pipeline surface (exact dedup, MinHash+LSH, SimHash, n-gram
+Jaccard, token/quality stats, language heuristic, fingerprints).
+
+Everything here is native Catalyst expressions (split/transform/filter/
+aggregate higher-order functions) — no Python UDFs — and every hash is the
+portable 60-bit md5 prefix (functions/core.py:md5_long) that DuckDB
+reproduces exactly via ('0x' || substr(md5(x),1,15))::BIGINT, so even the
+MinHash signatures hash-match the oracle.
+
+Scale notes:
+- shingling explodes ~n_tokens rows per doc; at 100 TB this runs as a
+  map-only stage feeding a (doc_id, h) partial min — no wide state;
+- LSH banding turns the all-pairs problem into equality joins on
+  (band, band_signature): the shuffle key is the bucket, and only bucket
+  collisions are verified — the standard MinHash-LSH contract;
+- same-language blocking bounds the n-gram Jaccard pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from holochatstats_spark.functions.core import round_half_up
+from holochatstats_spark.queries import register
+from holochatstats_spark.tables import load_table
+
+# Normalized whitespace-token array, shared by all queries here.
+_TOKS = "split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' ')"
+# DuckDB equivalent (1-based lists).
+_TOKS_DUCK = "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", F.expr(_TOKS))
+
+
+# ---------------------------------------------------------------------------
+# S8/2.8 — exact dedup summary via content hash (reference dropDuplicates
+# pre-write, utils/helpers.py:24-36).
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_dupes
+    FROM documents
+    """,
+    survey="S8,2.8,dedup",
+)
+def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(norm).alias("n_unique"),
+        (F.count("*") - F.countDistinct(norm)).cast("bigint").alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 + portable 60-bit integer fingerprint.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_md5,
+           ('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT
+             AS fp_int
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey="F13,dedup",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint").alias("fp_int"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token & quality stats (quality scoring: length/stopword ratios).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_TOKS_DUCK} AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS chars_nospace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           FLOOR((chars_nospace * 1.0 / NULLIF(len(toks), 0)) * 10000 + 0.5) / 10000 AS avg_token_len,
+           FLOOR((len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                  / NULLIF(len(toks), 0)) * 10000 + 0.5) / 10000 AS stopword_ratio,
+           FLOOR((LEAST(n_chars, 500) / 500.0
+                  * (1 - len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                         / NULLIF(len(toks), 0))) * 10000 + 0.5) / 10000 AS quality_score
+    FROM t
+    ORDER BY doc_id
+    """,
+    survey="text-quality,F11",
+    tags=("bench",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    stop_arr = "array(" + _STOP_SQL + ")"
+    n_tokens = F.expr("size(toks)").cast("bigint")
+    n_stop = F.expr(f"size(filter(toks, x -> array_contains({stop_arr}, x)))")
+    chars_nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    stop_ratio = n_stop * 1.0 / F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        round_half_up(
+            chars_nospace * 1.0 / F.nullif(n_tokens.cast("double"), F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+        round_half_up(stop_ratio, 4).alias("stopword_ratio"),
+        round_half_up(
+            F.least(F.col("n_chars"), F.lit(500)) / 500.0 * (1 - stop_ratio), 4
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (n-gram/stopword heuristic; at parity with the
+# reference's script-based classifier F1 in spirit — the synthetic corpus is
+# latin-script so the signal is the function-word ratio).
+# ---------------------------------------------------------------------------
+@register(
+    "langid_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             FLOOR((len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                    / NULLIF(len(toks), 0)) * 10000 + 0.5) / 10000 AS en_stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en_stopword_ratio >= 0.05 THEN 'en-like' ELSE 'other' END AS guessed_class,
+           en_stopword_ratio
+    FROM scored
+    ORDER BY doc_id
+    """,
+    survey="F1,text-langid",
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    stop_arr = "array(" + _STOP_SQL + ")"
+    ratio = round_half_up(
+        F.expr(f"size(filter(toks, x -> array_contains({stop_arr}, x)))")
+        * 1.0
+        / F.nullif(F.expr("size(toks)").cast("double"), F.lit(0.0)),
+        4,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            ratio.alias("en_stopword_ratio"),
+        )
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.when(F.col("en_stopword_ratio") >= 0.05, "en-like")
+            .otherwise("other")
+            .alias("guessed_class"),
+            "en_stopword_ratio",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language rollup (A2-shape over documents).
+# ---------------------------------------------------------------------------
+@register(
+    "lang_rollup",
+    oracle=f"""
+    WITH t AS (SELECT lang, n_chars, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(len(toks)), 2) AS avg_tokens
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    survey="A2,text",
+)
+def lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.expr("size(toks)")), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — corpus concat per group, deterministic ordering (reference
+# title-corpus build api.py:708-714). collect_list is unordered in Spark, so
+# we sort (doc_id, source) structs before joining — never rely on collect
+# order.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_source_corpus",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, string_agg(source, ' ' ORDER BY doc_id) AS source_corpus
+    FROM ranked WHERE rn <= 20
+    GROUP BY lang ORDER BY lang
+    """,
+    survey="A14",
+)
+def lang_source_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "source"))),
+                    lambda x: x.source,
+                ),
+                " ",
+            ).alias("source_corpus")
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-3-gram shingles, shared by Jaccard and MinHash below.
+# ---------------------------------------------------------------------------
+_SHINGLES = """
+    CASE WHEN size(toks) >= 3 THEN
+      transform(sequence(0, size(toks) - 3),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE array() END
+"""
+_SHINGLES_DUCK = """
+    CASE WHEN len(toks) >= 3 THEN
+      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       FOR i IN range(1, len(toks) - 1)]
+    ELSE [] END
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "lang", F.explode(F.expr(_SHINGLES)).alias("shingle")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs, blocked by language (dedup op).
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang, unnest({_SHINGLES_DUCK}) AS shingle FROM t
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), commons AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           FLOOR((c.n_common * 1.0 / (sa.n + sb.n - c.n_common)) * 10000 + 0.5) / 10000 AS jaccard
+    FROM commons c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= 0.1
+    ORDER BY doc_a, doc_b
+    """,
+    survey="dedup-jaccard",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation by shingle equality join (only docs sharing a
+    shingle ever meet), language-blocked; Jaccard verified exactly."""
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    commons = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        commons.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.1)
+        .select("doc_a", "doc_b", "n_common", round_half_up(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (dedup at scale). Signature h_i(doc) =
+# min over shingles of md5_60bit(i || '|' || shingle); 16 hashes in 4 bands
+# of 4; candidate pairs share at least one full band signature; estimated
+# Jaccard = fraction of matching signature positions.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM t
+    ), hseq AS (
+      SELECT unnest(range(1, {N_HASHES + 1})) AS h
+    ), sig AS (
+      SELECT doc_id, h,
+             MIN(('0x' || substr(md5(h::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS mh
+      FROM sh CROSS JOIN hseq
+      GROUP BY doc_id, h
+    ), bands AS (
+      SELECT doc_id, CAST((h - 1) / {BAND_SIZE} AS BIGINT) AS band,
+             string_agg(mh::VARCHAR, '-' ORDER BY h) AS band_sig
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+    GROUP BY c.doc_a, c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    survey="dedup-minhash-lsh",
+    tags=("bench",),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir).drop("lang")
+    hseq = spark.range(1, N_HASHES + 1).select(F.col("id").cast("int").alias("h"))
+    mh_expr = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sig = (
+        sh.crossJoin(F.broadcast(hseq))
+        .groupBy("doc_id", "h")
+        .agg(F.min(mh_expr).alias("mh"))
+    )
+    bands = sig.groupBy(
+        "doc_id", ((F.col("h") - 1) / BAND_SIZE).cast("bigint").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "mh"))),
+                lambda x: x.mh.cast("string"),
+            ),
+            "-",
+        ).alias("band_sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.h") == F.col("sa.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("sa.mh") == F.col("sb.mh"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("est_jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (28-bit, portable md5 token hashes), with bucket
+# sizes for exact-bucket near-dup grouping.
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt,
+             ('0x' || substr(md5(tok), 1, 7))::BIGINT AS h
+      FROM tok GROUP BY doc_id, tok
+    ), bits AS (
+      SELECT doc_id, j.j,
+             CASE WHEN SUM(cnt * (2 * ((h // CAST(pow(2, j.j) AS BIGINT)) % 2) - 1)) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM tok_counts
+      CROSS JOIN (SELECT unnest(range(0, 28)) AS j) j
+      GROUP BY doc_id, j.j
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(SUM(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.simhash,
+           CAST(COUNT(*) OVER (PARTITION BY h.simhash) AS BIGINT) AS bucket_size
+    FROM hashes h
+    ORDER BY doc_id
+    """,
+    survey="dedup-simhash",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tok_counts = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("cnt"),
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    jseq = spark.range(0, 28).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        tok_counts.crossJoin(F.broadcast(jseq))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.when(
+                F.sum(
+                    F.col("cnt")
+                    * (2 * F.expr("(h div cast(pow(2, j) as bigint)) % 2") - 1)
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bit")
+        )
+    )
+    hashes = bits.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.expr("cast(pow(2, j) as bigint)"))
+        .cast("bigint")
+        .alias("simhash")
+    )
+    w = Window.partitionBy("simhash")
+    return hashes.select(
+        "doc_id",
+        "simhash",
+        F.count("*").over(w).cast("bigint").alias("bucket_size"),
+    ).orderBy("doc_id")

@@ -1,0 +1,291 @@
+"""Vector/similarity queries: V1 cosine self-join, V3 percentile threshold,
+V8 brute-force k-NN, embedding near-dup, label centroids.
+
+Float parity contract with the DuckDB oracle: embeddings are float32 —
+both engines widen float→double exactly, products are bit-identical, and
+only the summation order can differ (error ~1e-15 over 64 terms), so every
+similarity is rounded to 6dp and ORDER BY uses the ROUNDED value with a
+unique tie-break key.
+
+Scale notes: the brute-force k-NN broadcasts the (tiny) query side and is
+a single scan + TakeOrdered — the right baseline at any corpus size that
+fits a scan budget; the LSH-bucketed variant (operators/ann.py) is the
+100 TB path. The V1 similarity self-join stays LONG (never pivots to a
+user×key matrix, unlike the reference's pandas pivot api.py:462-467) and
+shuffles once on the join key.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from holochatstats_spark.queries import register
+from holochatstats_spark.tables import load_table
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    """Sequential left-to-right double fold of a·b (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# V8 — brute-force cosine k-NN (reference pgvector `<=>` search,
+# api.py:3037-3066; similarity = 1 − distance, api.py:3086).
+# ---------------------------------------------------------------------------
+@register(
+    "knn_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / NULLIF(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv)), 0),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine_sim
+    FROM scored
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    survey="V8,T3",
+    tags=("bench",),
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot_expr("embedding", "qv")
+                / F.nullif(
+                    F.sqrt(dot_expr("embedding", "embedding"))
+                    * F.sqrt(dot_expr("qv", "qv")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# V1 — pairwise cosine over co-occurrence vectors, long-form self-join
+# (reference channel clustering pivot+sklearn, api.py:451-468): each
+# event_type is a vector over users (weight = event count).
+# ---------------------------------------------------------------------------
+@register(
+    "type_cosine_similarity",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ), norms AS (
+      SELECT event_type, sqrt(SUM(cnt * cnt)) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT w1.event_type AS type_a, w2.event_type AS type_b,
+             SUM(w1.cnt * w2.cnt) AS dot
+      FROM w w1 JOIN w w2 USING (user_id)
+      WHERE w1.event_type < w2.event_type
+      GROUP BY 1, 2
+    )
+    SELECT d.type_a, d.type_b,
+           ROUND(d.dot / NULLIF(na.nrm * nb.nrm, 0), 6) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON na.event_type = d.type_a
+    JOIN norms nb ON nb.event_type = d.type_b
+    ORDER BY d.type_a, d.type_b
+    """,
+    survey="V1,A13,J7",
+    tags=("bench",),
+)
+def type_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never materializes the wide user×type matrix (SURVEY §7: A13 must
+    stay long at 100 TB) — one self-join on user_id does all pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    norms = w.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    w1, w2 = w.alias("w1"), w.alias("w2")
+    dots = (
+        w1.join(w2, "user_id")
+        .where(F.col("w1.event_type") < F.col("w2.event_type"))
+        .groupBy(
+            F.col("w1.event_type").alias("type_a"),
+            F.col("w2.event_type").alias("type_b"),
+        )
+        .agg(F.sum(F.col("w1.cnt") * F.col("w2.cnt")).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    return (
+        dots.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
+        .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                F.col("dot") / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V3 — percentile thresholds (reference np.percentile edge pruning,
+# api.py:471-476). Discrete percentiles (actual elements at
+# floor((n-1)*p)) rather than interpolated — interpolation formulas differ
+# by ulps across engines; element selection is byte-identical.
+# ---------------------------------------------------------------------------
+_PCTS = ((0.50, "p50"), (0.90, "p90"), (0.95, "p95"), (0.99, "p99"))
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT """
+    + ",\n           ".join(
+        f"MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * {p}) + 1 AS BIGINT) "
+        f"THEN v END) AS {name}"
+        for p, name in _PCTS
+    )
+    + "\n    FROM s",
+    survey="V3,T6",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single global sort (orders is the smaller fact); at 100 TB this
+    would switch to approx_count_distinct-style sketches (approxQuantile)
+    — documented divergence, the oracle path stays exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w_rn = Window.orderBy("v", "o_orderkey")
+    s = o.select(F.col("o_totalprice").alias("v"), "o_orderkey").withColumn(
+        "rn", F.row_number().over(w_rn)
+    )
+    n = s.count()
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == int(math.floor((n - 1) * p)) + 1, F.col("v"))
+        ).alias(name)
+        for p, name in _PCTS
+    ]
+    return s.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate detection (training-data pipeline op): pairs
+# within the same label block whose cosine exceeds a threshold. Blocking by
+# label bounds the pair space (the 100 TB pattern: block → verify).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0) > 0.9
+    ORDER BY a.label, vec_a, vec_b
+    """,
+    survey="V1,V8,dedup",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_expr("embedding", "embedding")).alias("nrm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot_expr("a.embedding", "b.embedding") / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(sim > 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids: elementwise mean via posexplode (array agg without ever
+# collecting vectors to the driver), then intra-vs-global stats.
+# ---------------------------------------------------------------------------
+@register(
+    "label_centroid_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, AVG(x) AS c FROM flat GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+           ROUND(AVG(c), 6) AS mean_component
+    FROM cent
+    GROUP BY label
+    ORDER BY label
+    """,
+    survey="V1,V7",
+)
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "pos0", "x")
+    cent = flat.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.avg("x").alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.count("*").alias("dim"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.round(F.avg("c"), 6).alias("mean_component"),
+        )
+        .orderBy("label")
+    )
