@@ -132,16 +132,23 @@ _W_END_RE = "ｗ+$"
 
 
 def has_humor(msg: Column) -> Column:
-    """F4 (feature_analysis.py:7-26)."""
+    """F4 (feature_analysis.py:7-26).
+
+    NULL messages yield False (not NULL) — contains/regexp_like propagate
+    NULL through the OR chain, which would silently drop rows from boolean
+    filters and humor counts; the reference's Python `in`/`re.search` can
+    never return None for valid str input, so False is the parity answer.
+    """
     substr_hit = F.lit(False)
     for s in _HUMOR_SUBSTRINGS:
         substr_hit = substr_hit | msg.contains(s)
     has_jp = F.regexp_like(msg, F.lit(_JP_SCRIPT))
-    return (
+    return F.coalesce(
         substr_hit
         | F.regexp_like(msg, F.lit(_LOL_RE))
         | (has_jp & F.regexp_like(msg, F.lit(_W_END_RE)))
-        | F.regexp_like(msg, F.lit(_REPEAT_LAUGH_RE))
+        | F.regexp_like(msg, F.lit(_REPEAT_LAUGH_RE)),
+        F.lit(False),
     )
 
 

@@ -12,8 +12,6 @@ regardless of input scale.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,24 +40,29 @@ from holochatstats_spark.tables import load_table
     survey="J6,2.8",
 )
 def common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE plan, one scan: per-user membership flags from a single
+    conditional agg, then a scalar agg — replaces the r1 version's three
+    .count() actions + driver-side createDataFrame (VERDICT r1)."""
     ev = load_table(spark, sf_dir, "events")
-
-    def users_of(t: str) -> DataFrame:
-        return ev.where(F.col("event_type") == t).select("user_id").distinct()
-
-    a, b = users_of("click"), users_of("purchase")
-    n_a, n_b = a.count(), b.count()
-    n_common = a.join(b, "user_id", "inner").count()
-
-    def _pct(num: int, den: int) -> float | None:
-        # floor-based half-up rounding, bit-identical to the oracle's
-        # FLOOR((n*100.0/d)*100 + 0.5)/100 (Python floats are IEEE doubles)
-        return math.floor((num * 100.0 / den) * 100 + 0.5) / 100 if den else None
-
-    row = (n_common, n_a, n_b, _pct(n_common, n_a), _pct(n_common, n_b))
-    return spark.createDataFrame(
-        [row],
-        "n_common bigint, n_a bigint, n_b bigint, pct_of_a double, pct_of_b double",
+    per_user = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+        )
+    )
+    counts = per_user.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_common"),
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+    )
+    return counts.select(
+        "n_common",
+        "n_a",
+        "n_b",
+        pct_round(F.col("n_common"), F.col("n_a")).alias("pct_of_a"),
+        pct_round(F.col("n_common"), F.col("n_b")).alias("pct_of_b"),
     )
 
 

@@ -200,8 +200,8 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT lang, n_chars, {_TOKS_DUCK} AS toks FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(n_chars), 2) AS avg_chars,
-           ROUND(AVG(len(toks)), 2) AS avg_tokens
+           FLOOR(AVG(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+           FLOOR(AVG(len(toks)) * 100 + 0.5) / 100 AS avg_tokens
     FROM t GROUP BY lang ORDER BY lang
     """,
     survey="A2,text",
@@ -212,8 +212,11 @@ def lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(F.expr("size(toks)")), 2).alias("avg_tokens"),
+            # round_half_up, not ROUND: an AVG of ints can land on an exactly
+            # representable .xx5 tie (e.g. .125) where Spark's BigDecimal
+            # HALF_UP and DuckDB's C round may diverge (ADVICE r1)
+            round_half_up(F.avg("n_chars"), 2).alias("avg_chars"),
+            round_half_up(F.avg(F.expr("size(toks)")), 2).alias("avg_tokens"),
         )
         .orderBy("lang")
     )
@@ -286,13 +289,25 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs, blocked by language (dedup op).
 # ---------------------------------------------------------------------------
+#: A shingle shared by k docs creates k² candidate rows in the self-join;
+#: at 100 TB common boilerplate 3-grams are scale-killers. Shingles with
+#: document frequency above this cap are dropped from BOTH engines (same
+#: semantics, hash stays green at any sf); the cap is far above the test
+#: fixtures' max DF (7 at sf0.01, 25 at sf0.1) so test results are exact.
+MAX_SHINGLE_DF = 1000
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id, lang, unnest({_SHINGLES_DUCK}) AS shingle FROM t
+    ), sh AS (
+      SELECT doc_id, lang, shingle FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, shingle) AS df_cnt FROM sh0
+      ) WHERE df_cnt <= {MAX_SHINGLE_DF}
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), commons AS (
@@ -313,8 +328,19 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation by shingle equality join (only docs sharing a
-    shingle ever meet), language-blocked; Jaccard verified exactly."""
-    sh = _shingle_df(spark, sf_dir)
+    shingle ever meet), language-blocked; Jaccard verified exactly.
+
+    Hot-shingle guard: shingles with DF > MAX_SHINGLE_DF are dropped before
+    the self-join (window keyed on the join key, so the DF computation
+    shares the self-join's shuffle partitioning). The oracle applies the
+    identical cap."""
+    sh_all = _shingle_df(spark, sf_dir)
+    w_df = Window.partitionBy("lang", "shingle")
+    sh = (
+        sh_all.withColumn("df_cnt", F.count("*").over(w_df))
+        .where(F.col("df_cnt") <= MAX_SHINGLE_DF)
+        .drop("df_cnt")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     commons = (

@@ -32,12 +32,24 @@ _RUNTIME_CONFS = {
 
 
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
-    """Pin runtime-settable configs this engine's semantics rely on."""
+    """Pin runtime-settable configs this engine's semantics rely on.
+
+    The timezone pin is load-bearing for correctness (every date bucket
+    diverges from the oracle otherwise), so its read-back is asserted
+    rather than best-effort; the AQE confs are performance-only and may
+    legitimately be locked on a foreign session.
+    """
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # conf not settable at runtime on this build — best effort
+            pass  # perf conf not settable on this build — verified below for tz
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone={tz!r}; this engine requires UTC "
+            "(month/date bucketing would silently diverge from the oracle)"
+        )
     return spark
 
 

@@ -29,14 +29,27 @@ def write_month_partitioned(
     DELETE-month + INSERT-month refresh proc (queries.py:120-129).
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.withColumn("_month", F.date_format(F.col(month_col), "yyyy-MM"))
-        .write.mode("overwrite")
-        .partitionBy("_month")
-        .format(fmt)
-        .save(path)
-    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.withColumn("_month", F.date_format(F.col(month_col), "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("_month")
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        # restore the shared session's prior setting — never leak a write
+        # mode into unrelated jobs on the same session
+        if prev is not None:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
 
 
 def export_csv(df: DataFrame, path: str) -> None:
