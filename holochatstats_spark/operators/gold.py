@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 from holochatstats_spark.functions.core import pct_round
 
-_MONTH = F.trunc(F.col("last_message_at"), "MM").alias("observed_month")
+def _month():
+    # built lazily: Column construction needs an active SparkContext in
+    # pyspark 4, and this module is imported before the session exists
+    return F.trunc(F.col("last_message_at"), "MM").alias("observed_month")
 
 
 def user_monthly_activity(user_data: DataFrame) -> DataFrame:
@@ -22,7 +25,7 @@ def user_monthly_activity(user_data: DataFrame) -> DataFrame:
     month) message totals, excluding gift-only rows (P3)."""
     return (
         user_data.where(F.col("total_message_count") > 0)
-        .groupBy("user_id", "channel_id", _MONTH)
+        .groupBy("user_id", "channel_id", _month())
         .agg(F.sum("total_message_count").cast("long").alias("total_messages"))
     )
 
@@ -33,7 +36,7 @@ def user_activity(user_data: DataFrame, channels: DataFrame) -> DataFrame:
     that the MV lacks (latent bug, SURVEY §2.6 J4) — we include it."""
     return (
         user_data.where(F.col("total_message_count") > 0)
-        .groupBy("user_id", "channel_id", _MONTH)
+        .groupBy("user_id", "channel_id", _month())
         .agg(F.sum("total_message_count").cast("long").alias("total_messages"))
         .join(F.broadcast(channels), "channel_id")
         .select(
@@ -53,7 +56,7 @@ def channel_month_language(user_data: DataFrame) -> DataFrame:
         F.sum(f"{c}_count").cast("long").alias(f"{c}_count")
         for c in ("jp", "kr", "ru", "emoji", "es_en_id")
     ]
-    return user_data.groupBy("channel_id", _MONTH).agg(
+    return user_data.groupBy("channel_id", _month()).agg(
         *sums,
         F.sum("total_message_count").cast("long").alias("total_message_count"),
     )
@@ -65,7 +68,7 @@ def user_month_language(user_data: DataFrame) -> DataFrame:
     jp > 0.5 × non_emoji (A9, api.py:2491-2528)."""
     return (
         user_data.where(F.col("total_message_count") > 0)
-        .groupBy("user_id", "channel_id", _MONTH)
+        .groupBy("user_id", "channel_id", _month())
         .agg(
             F.sum("jp_count").cast("long").alias("jp_count"),
             F.sum(F.col("total_message_count") - F.col("emoji_count"))
@@ -87,8 +90,11 @@ def membership_summary(user_data: DataFrame, channels: DataFrame) -> DataFrame:
         .when(F.col("membership_rank") == -2, 1)
         .otherwise(2)
     )
+    # video_id is the deterministic tie-break: two same-class rows of one
+    # user can share last_message_at across videos; row_number must not
+    # depend on partition order (oracle hash parity)
     w = Window.partitionBy("user_id", "channel_id", "observed_month_").orderBy(
-        rank_class.asc(), F.col("last_message_at").desc()
+        rank_class.asc(), F.col("last_message_at").desc(), F.col("video_id").desc()
     )
     latest = (
         user_data.withColumn(

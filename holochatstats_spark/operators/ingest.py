@@ -72,8 +72,13 @@ def build_user_data(
     is_member_event = F.col("message_type").isin(*MEMBER_EVENT_TYPES)
     # a chat message only counts if it survived classification
     is_counted_msg = (~is_member_event) & F.col("message_category").isNotNull()
-    # rank is "known" unless it's a badge-less gift event (rank -2 there)
-    has_known_rank = (~is_member_event) | (F.col("membership_rank") != -2)
+    # rank is "known" unless NULL (no badge parsed — not rank-bearing) or a
+    # badge-less gift event (rank -2); a NULL-rank chat message must not
+    # shadow an earlier known rank (ADVICE r1: the bare coalesce collapsed
+    # that case to -2)
+    has_known_rank = F.col("membership_rank").isNotNull() & (
+        (~is_member_event) | (F.col("membership_rank") != -2)
+    )
     order_key = F.struct(F.col("ts"), F.col("seq"))
 
     cat_counters = [

@@ -68,6 +68,7 @@ def register(
 def load_all_queries() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
     from holochatstats_spark.queries import (  # noqa: F401
+        chat_pipeline,
         forecast,
         overlap,
         relational,

@@ -1,0 +1,318 @@
+"""The HoloChatStats-semantic pipeline under the oracle gate: A1 ingest
+aggregate → silver user_data → the gold MV layer (SURVEY §1.3) → A9 ratio,
+plus the F1–F5 classification suite — all over the deterministic synthetic
+messages frame (operators/synth.py), so the reference's most load-bearing
+semantics (chat_downloader.py:41-179, queries.py:120-236, chat_parser.py,
+feature_analysis.py) are hash-verified against DuckDB, not just unit-tested.
+
+Scale shape: the A1 aggregate is ONE groupBy over the messages table
+(map-side partial agg; the reference runs per-video Python dicts through a
+single writer queue); each gold table is one further groupBy/window over
+the much smaller silver frame; channels is a broadcast dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from holochatstats_spark.functions.classify import (
+    categorize_message,
+    clean_chat_for_ai,
+    has_humor,
+    parse_membership_rank,
+)
+from holochatstats_spark.functions.core import pct_round
+from holochatstats_spark.operators.gold import (
+    channel_month_language,
+    membership_summary,
+    user_month_language,
+    user_monthly_activity,
+)
+from holochatstats_spark.operators.ingest import build_user_data
+from holochatstats_spark.operators.synth import (
+    synthetic_channels,
+    synthetic_messages,
+    with_synth_ctes,
+)
+from holochatstats_spark.queries import register
+from holochatstats_spark.tables import load_table
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_user_data(synthetic_messages(load_table(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# A1 — the ingest aggregate itself (chat_downloader.py:41-179): category
+# counters, last_message_at advancement (member events advance it too),
+# latest known rank with gift -2 never overriding, gift-only flag,
+# observed_month = month of the video's last message.
+# ---------------------------------------------------------------------------
+@register(
+    "a1_user_data",
+    oracle=with_synth_ctes("""
+    SELECT channel_id, video_id, user_id, username, last_message_at,
+           jp_count, kr_count, ru_count, emoji_count, es_en_id_count,
+           total_message_count, membership_rank, is_gift,
+           CAST(date_trunc('month',
+                MAX(last_message_at) OVER (PARTITION BY channel_id, video_id))
+             AS DATE) AS observed_month
+    FROM ud
+    ORDER BY channel_id, video_id, user_id
+    """),
+    survey="A1,S8,F13,P8",
+    tags=("bench",),
+)
+def a1_user_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _silver(spark, sf_dir).orderBy("channel_id", "video_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Gold MV 1 — mv_user_monthly_activity (queries.py:178-188): P3 activity
+# filter + per (user, channel, month) totals.
+# ---------------------------------------------------------------------------
+@register(
+    "user_monthly_activity_gold",
+    oracle=with_synth_ctes("""
+    SELECT user_id, channel_id,
+           CAST(date_trunc('month', last_message_at) AS DATE) AS observed_month,
+           CAST(SUM(total_message_count) AS BIGINT) AS total_messages
+    FROM ud
+    WHERE total_message_count > 0
+    GROUP BY 1, 2, 3
+    ORDER BY user_id, channel_id, observed_month
+    """),
+    survey="A2-analog,P3,gold",
+)
+def user_monthly_activity_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_monthly_activity(_silver(spark, sf_dir)).orderBy(
+        "user_id", "channel_id", "observed_month"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gold MV 2 — chat_language_stats_mv (queries.py:209-223): per (channel,
+# month) sums of the five category counters + total.
+# ---------------------------------------------------------------------------
+@register(
+    "channel_month_language_gold",
+    oracle=with_synth_ctes("""
+    SELECT channel_id,
+           CAST(date_trunc('month', last_message_at) AS DATE) AS observed_month,
+           CAST(SUM(jp_count) AS BIGINT) AS jp_count,
+           CAST(SUM(kr_count) AS BIGINT) AS kr_count,
+           CAST(SUM(ru_count) AS BIGINT) AS ru_count,
+           CAST(SUM(emoji_count) AS BIGINT) AS emoji_count,
+           CAST(SUM(es_en_id_count) AS BIGINT) AS es_en_id_count,
+           CAST(SUM(total_message_count) AS BIGINT) AS total_message_count
+    FROM ud
+    GROUP BY 1, 2
+    ORDER BY channel_id, observed_month
+    """),
+    survey="A2,gold",
+)
+def channel_month_language_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return channel_month_language(_silver(spark, sf_dir)).orderBy(
+        "channel_id", "observed_month"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gold MV 3 — mv_user_language_per_month (queries.py:225-236).
+# ---------------------------------------------------------------------------
+@register(
+    "user_month_language_gold",
+    oracle=with_synth_ctes("""
+    SELECT user_id, channel_id,
+           CAST(date_trunc('month', last_message_at) AS DATE) AS observed_month,
+           CAST(SUM(jp_count) AS BIGINT) AS jp_count,
+           CAST(SUM(total_message_count - emoji_count) AS BIGINT) AS non_emoji_count
+    FROM ud
+    WHERE total_message_count > 0
+    GROUP BY 1, 2, 3
+    ORDER BY user_id, channel_id, observed_month
+    """),
+    survey="A9,gold",
+)
+def user_month_language_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_month_language(_silver(spark, sf_dir)).orderBy(
+        "user_id", "channel_id", "observed_month"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gold MV 4 + A8/W1 — membership_data_summary refresh (queries.py:120-177):
+# rank-class priority dedup (known ≥0 beats gift -2 beats non-member -1,
+# then latest), counts, percent-of-total window.
+# ---------------------------------------------------------------------------
+@register(
+    "membership_summary_gold",
+    oracle=with_synth_ctes("""
+    , latest AS (
+      SELECT *, CAST(date_trunc('month', last_message_at) AS DATE) AS om,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, channel_id, date_trunc('month', last_message_at)
+               ORDER BY CASE WHEN membership_rank >= 0 THEN 0
+                             WHEN membership_rank = -2 THEN 1 ELSE 2 END ASC,
+                        last_message_at DESC, video_id DESC) AS rn
+      FROM ud
+    ), counts AS (
+      SELECT channel_id, om AS observed_month, membership_rank,
+             CAST(COUNT(*) AS BIGINT) AS membership_count
+      FROM latest WHERE rn = 1 GROUP BY 1, 2, 3
+    )
+    SELECT ch.channel_group, ch.channel_name, c.observed_month,
+           c.membership_rank, c.membership_count,
+           FLOOR((c.membership_count * 100.0
+                  / NULLIF(CAST(SUM(c.membership_count) OVER (
+                      PARTITION BY c.channel_id, c.observed_month) AS DOUBLE), 0))
+                 * 100 + 0.5) / 100 AS percentage_total
+    FROM counts c JOIN channels ch USING (channel_id)
+    ORDER BY ch.channel_name, c.observed_month, c.membership_rank
+    """),
+    survey="W1,A8,W3,P4,gold",
+)
+def membership_summary_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = build_user_data(synthetic_messages(ev))
+    return membership_summary(ud, synthetic_channels(ev)).orderBy(
+        "channel_name", "observed_month", "membership_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — JP-user ratio (api.py:2491-2528): a user is a "JP user" in a
+# channel-month iff jp_count > 0.5 × non-emoji messages; report the share.
+# ---------------------------------------------------------------------------
+@register(
+    "jp_user_share",
+    oracle=with_synth_ctes("""
+    , uml AS (
+      SELECT user_id, channel_id,
+             CAST(date_trunc('month', last_message_at) AS DATE) AS observed_month,
+             SUM(jp_count) AS jp_count,
+             SUM(total_message_count - emoji_count) AS non_emoji_count
+      FROM ud WHERE total_message_count > 0
+      GROUP BY 1, 2, 3
+    )
+    SELECT ch.channel_name, u.observed_month,
+           CAST(SUM(CASE WHEN u.jp_count > 0.5 * u.non_emoji_count THEN 1 ELSE 0 END) AS BIGINT)
+             AS jp_users,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR((SUM(CASE WHEN u.jp_count > 0.5 * u.non_emoji_count THEN 1 ELSE 0 END) * 100.0
+                  / NULLIF(CAST(COUNT(*) AS DOUBLE), 0)) * 100 + 0.5) / 100 AS jp_pct
+    FROM uml u JOIN channels ch USING (channel_id)
+    GROUP BY 1, 2
+    ORDER BY ch.channel_name, u.observed_month
+    """),
+    survey="A9,F9",
+)
+def jp_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uml = user_month_language(build_user_data(synthetic_messages(ev)))
+    is_jp = (F.col("jp_count") > 0.5 * F.col("non_emoji_count")).cast("int")
+    per = uml.groupBy("channel_id", "observed_month").agg(
+        F.sum(is_jp).cast("bigint").alias("jp_users"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    return (
+        per.join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        .select(
+            "channel_name",
+            "observed_month",
+            "jp_users",
+            "n_users",
+            pct_round(F.col("jp_users"), F.col("n_users")).alias("jp_pct"),
+        )
+        .orderBy("channel_name", "observed_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1–F5 — the classification suite at data scale (chat_parser.py:11-93,
+# feature_analysis.py:7-26, ai_summarizer.py:42-52): Spark's native-regex
+# expressions vs a DuckDB RE2 twin over every branch in the message pool.
+# ---------------------------------------------------------------------------
+_EMOJI_RE2 = (
+    "[\\x{1F000}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{2B00}-\\x{2BFF}"
+    "\\x{20E3}\\x{00A9}\\x{00AE}\\x{2122}\\x{203C}\\x{2049}"
+    "\\x{3030}\\x{303D}\\x{FE0E}\\x{FE0F}\\x{200D}]"
+)
+_FILLER_RE2 = "[\\s\\x{200D}\\x{FE0E}\\x{FE0F}]"
+_JP_RE2 = "[\\p{Hiragana}\\p{Katakana}\\p{Han}]"
+
+_HUMOR_SUBSTR_SQL = " OR ".join(
+    f"contains(message, '{s}')"
+    for s in (
+        "草", "茶葉", "_fbkcha", "_lol", "lmao", "lmfao", "haha", "🤣", "😆",
+        "jaja", "笑", "xd", "wkwk", "ｗ", "rofl", "kek", "looool", "xddd",
+    )
+)
+
+_RANK_EXTRACT = "regexp_extract(lower(trim(badge_text)), '(\\d+)\\s*(month|year)', {g})"
+
+_CLASSIFY_SQL = with_synth_ctes(f"""
+    , base AS (
+      SELECT seq, message, badge_text,
+             trim(message) AS stripped,
+             lower(trim(message)) AS lowered,
+             regexp_replace(trim(message), ':[^:\\s]+:', '', 'g') AS no_sc
+      FROM msgs
+    ), emoji AS (
+      SELECT *, regexp_replace(no_sc, '{_EMOJI_RE2}', '', 'g') AS no_em
+      FROM base
+    ), flags AS (
+      SELECT *,
+             regexp_replace(no_em, '{_FILLER_RE2}', '', 'g') = ''
+               AND (no_sc <> stripped OR no_em <> no_sc) AS pure_emoji
+      FROM emoji
+    )
+    SELECT seq, message,
+           CASE WHEN message IS NULL OR stripped = '' THEN NULL
+                WHEN pure_emoji THEN 'emoji'
+                WHEN regexp_matches(lowered, '{_JP_RE2}')
+                  OR regexp_matches(lowered, '[！？]')
+                  OR regexp_matches(lowered, '^[wｗ]+$') THEN 'jp'
+                WHEN regexp_matches(lowered, '[\\p{{Hangul}}]') THEN 'kr'
+                WHEN regexp_matches(lowered, '[\\p{{Cyrillic}}]') THEN 'ru'
+                WHEN regexp_matches(lowered, '^[\\p{{Nd}}\\p{{Nl}}\\p{{No}}]+$') THEN 'number'
+                ELSE 'es_en_id' END AS category,
+           CAST(CASE WHEN badge_text IS NULL OR badge_text = '' THEN -1
+                WHEN contains(lower(trim(badge_text)), 'new member') THEN 0
+                WHEN {_RANK_EXTRACT.format(g=1)} <> '' THEN
+                  CASE WHEN {_RANK_EXTRACT.format(g=2)} = 'year'
+                       THEN CAST({_RANK_EXTRACT.format(g=1)} AS INT) * 12
+                       ELSE CAST({_RANK_EXTRACT.format(g=1)} AS INT) END
+                ELSE -1 END AS INT) AS parsed_rank,
+           COALESCE({_HUMOR_SUBSTR_SQL}
+             OR regexp_matches(message, '(?i)\\blol+\\b')
+             OR (regexp_matches(message, '{_JP_RE2}')
+                 AND regexp_matches(message, 'ｗ+$'))
+             OR regexp_matches(message, '(?i)(ha){{2,}}|(w{{2,}})|(o?l{{2,}}o+l+)'),
+             FALSE) AS humor,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(message, ':[^:\\s]+:', ' ', 'g'),
+               'https?://\\S+', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM flags
+    ORDER BY seq
+    """)
+
+
+@register(
+    "message_classification",
+    oracle=_CLASSIFY_SQL,
+    survey="F1,F2,F3,F4,F5",
+)
+def message_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = synthetic_messages(load_table(spark, sf_dir, "events"))
+    return msgs.select(
+        "seq",
+        "message",
+        categorize_message(F.col("message")).alias("category"),
+        parse_membership_rank(F.col("badge_text")).cast("int").alias("parsed_rank"),
+        has_humor(F.col("message")).alias("humor"),
+        clean_chat_for_ai(F.col("message")).alias("cleaned"),
+    ).orderBy("seq")

@@ -1,0 +1,258 @@
+"""Similarity-stack queries: V6 recommendation scoring (+T4) and V2
+TF-IDF content similarity — the two headline endpoints VERDICT r1 flagged
+as missing (reference api.py:1013-1056 `/recommend`, api.py:719-731
+`content_clustering`).
+
+Both stay LONG-form end to end (no user×channel pivot — SURVEY §7: A13
+must never materialize wide at 100 TB): the similarity matrix is a
+self-join on the shared key, scores are one more groupBy, and every join's
+small side (norms, vocab, channel counts) is broadcast.
+
+Float parity: sums of a handful of doubles can differ across engines in
+summation order; outputs are rounded (2dp scores / 6dp cosines) with
+deterministic tie-break keys, same contract as queries/vector.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from holochatstats_spark.functions.core import log_dampen, round_half_up
+from holochatstats_spark.queries import register
+from holochatstats_spark.queries.textops import _TOKS, _TOKS_DUCK
+from holochatstats_spark.tables import load_table
+
+PARTICIPATION_EXCLUSION_THRESHOLD = 3  # reference api.py:930
+VOCAB_SIZE = 500  # reference TfidfVectorizer(max_features=500), api.py:722
+
+# TF-IDF stopword list — deliberately tiny and shared with textops; the
+# reference uses sklearn's 318-word english list (documented divergence,
+# SURVEY §2.9 V2: "exact sklearn TF-IDF parity not bit-promised").
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# V6 + T4 — recommendation scoring (api.py:1013-1056): for every user,
+# score each channel as the sum of its cosine similarity to the user's
+# channels; exclude channels where the user's weight exceeds the
+# participation threshold; log-dampen normalize against ideal = number of
+# user channels; top-10 per user.
+# ---------------------------------------------------------------------------
+@register(
+    "recommend_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ), norms AS (
+      SELECT event_type, sqrt(SUM(cnt * cnt)) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT w1.event_type AS type_a, w2.event_type AS type_b,
+             SUM(w1.cnt * w2.cnt) AS dot
+      FROM w w1 JOIN w w2 USING (user_id)
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.type_a, d.type_b, d.dot / NULLIF(na.nrm * nb.nrm, 0) AS sim
+      FROM dots d
+      JOIN norms na ON na.event_type = d.type_a
+      JOIN norms nb ON nb.event_type = d.type_b
+    ), nuc AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ch FROM w GROUP BY 1
+    ), scores AS (
+      SELECT u.user_id, s.type_b AS channel, SUM(s.sim) AS raw_score
+      FROM w u JOIN sims s ON s.type_a = u.event_type
+      GROUP BY 1, 2
+    ), filtered AS (
+      SELECT sc.user_id, sc.channel, sc.raw_score
+      FROM scores sc
+      LEFT JOIN w ON w.user_id = sc.user_id AND w.event_type = sc.channel
+      WHERE COALESCE(w.cnt, 0) <= {PARTICIPATION_EXCLUSION_THRESHOLD}
+    ), ranked AS (
+      SELECT f.user_id, f.channel, f.raw_score, n.n_ch,
+             ROW_NUMBER() OVER (PARTITION BY f.user_id
+                                ORDER BY f.raw_score DESC, f.channel ASC) AS rn
+      FROM filtered f JOIN nuc n USING (user_id)
+    )
+    SELECT user_id, channel,
+           FLOOR((ln(1 + raw_score * 100.0 / NULLIF(CAST(n_ch AS DOUBLE), 0))
+                  / ln(1 + 100.0) * 100.0) * 100 + 0.5) / 100 AS score
+    FROM ranked
+    WHERE rn <= 10
+    ORDER BY user_id, channel
+    """,
+    survey="V6,T4,F10,V1",
+    tags=("bench",),
+)
+def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises F10 log_dampen (functions/core.py:log_dampen) at data
+    scale — one self-join for the similarity matrix, one groupBy for the
+    per-user score sums, a per-user window for top-10."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    norms = w.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    w1, w2 = w.alias("w1"), w.alias("w2")
+    dots = (
+        w1.join(w2, "user_id")
+        .groupBy(
+            F.col("w1.event_type").alias("type_a"),
+            F.col("w2.event_type").alias("type_b"),
+        )
+        .agg(F.sum(F.col("w1.cnt") * F.col("w2.cnt")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    sims = (
+        dots.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
+        .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("dot") / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0))).alias(
+                "sim"
+            ),
+        )
+    )
+    nuc = w.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_ch"))
+    scores = (
+        w.join(F.broadcast(sims), w.event_type == sims.type_a)
+        .groupBy("user_id", F.col("type_b").alias("channel"))
+        .agg(F.sum("sim").alias("raw_score"))
+    )
+    own = w.select("user_id", F.col("event_type").alias("channel"), "cnt")
+    filtered = scores.join(own, ["user_id", "channel"], "left").where(
+        F.coalesce(F.col("cnt"), F.lit(0.0)) <= PARTICIPATION_EXCLUSION_THRESHOLD
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.desc("raw_score"), F.asc("channel")
+    )
+    return (
+        filtered.join(nuc, "user_id")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 10)
+        .select(
+            "user_id",
+            "channel",
+            round_half_up(
+                log_dampen(F.col("raw_score"), F.col("n_ch").cast("double")), 2
+            ).alias("score"),
+        )
+        .orderBy("user_id", "channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V2 — TF-IDF content similarity (api.py:719-731): per-lang corpus of
+# document tokens (uni+bigrams, stopword-filtered), vocab capped at the
+# top-500 terms by corpus frequency, idf = ln((1+N)/(1+df)) + 1 (smoothed),
+# cosine over the resulting sparse vectors via the V1 long-form self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_lang_similarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, {_TOKS_DUCK} AS t FROM documents
+    ), grams AS (
+      SELECT lang, unnest(t) AS term FROM toks
+      UNION ALL
+      SELECT lang, unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+             ELSE [] END) AS term
+      FROM toks
+    ), clean AS (
+      SELECT lang, term FROM grams
+      WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+    ), tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM clean GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, SUM(tf) AS total, COUNT(*) AS df
+      FROM tf GROUP BY term
+      ORDER BY total DESC, term ASC
+      LIMIT {VOCAB_SIZE}
+    ), n_docs AS (
+      SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n FROM tf
+    ), wts AS (
+      SELECT tf.lang, tf.term,
+             tf.tf * (ln((1 + n.n) / (1 + CAST(v.df AS DOUBLE))) + 1) AS wt
+      FROM tf JOIN vocab v USING (term) CROSS JOIN n_docs n
+    ), norms AS (
+      SELECT lang, sqrt(SUM(wt * wt)) AS nrm FROM wts GROUP BY lang
+    ), dots AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, SUM(a.wt * b.wt) AS dot
+      FROM wts a JOIN wts b ON a.term = b.term AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT d.lang_a, d.lang_b,
+           ROUND(d.dot / NULLIF(na.nrm * nb.nrm, 0), 6) AS tfidf_cosine
+    FROM dots d
+    JOIN norms na ON na.lang = d.lang_a
+    JOIN norms nb ON nb.lang = d.lang_b
+    ORDER BY d.lang_a, d.lang_b
+    """,
+    survey="V2,A14,V1",
+)
+def tfidf_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab selection is orderBy().limit() — TakeOrdered over the term
+    stats, never a global sort; everything downstream of the cap joins
+    against the broadcast 500-term vocab."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("t", F.expr(_TOKS))
+    unigrams = docs.select("lang", F.explode("t").alias("term"))
+    bigrams = docs.where(F.expr("size(t) >= 2")).select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")
+        ).alias("term"),
+    )
+    clean = (
+        unigrams.unionAll(bigrams)
+        .where((F.col("term") != "") & ~F.col("term").isin(*_STOPWORDS))
+    )
+    tf = clean.groupBy("lang", "term").agg(F.count("*").cast("double").alias("tf"))
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("total"), F.count("*").alias("df"))
+        .orderBy(F.desc("total"), F.asc("term"))
+        .limit(VOCAB_SIZE)
+    )
+    n_docs = tf.agg(F.countDistinct("lang").cast("double").alias("n"))
+    wts = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n")) / (1.0 + F.col("df").cast("double")))
+                    + 1.0
+                )
+            ).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("lang").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a, b = wts.alias("a"), wts.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(F.broadcast(na), F.col("lang_a") == F.col("na.lang"))
+        .join(F.broadcast(nb), F.col("lang_b") == F.col("nb.lang"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(
+                F.col("dot") / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)), 6
+            ).alias("tfidf_cosine"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
