@@ -70,8 +70,11 @@ def load_all_queries() -> dict[str, Query]:
     from holochatstats_spark.queries import (  # noqa: F401
         chat_pipeline,
         forecast,
+        multimodal,
+        neardup,
         overlap,
         relational,
+        similarity,
         temporal,
         textops,
         vector,

@@ -252,6 +252,15 @@ _HUMOR_SUBSTR_SQL = " OR ".join(
 
 _RANK_EXTRACT = "regexp_extract(lower(trim(badge_text)), '(\\d+)\\s*(month|year)', {g})"
 
+#: F4 has_humor as a DuckDB boolean expression over a `message` column —
+#: shared by message_classification and the J10 funniest-timestamp oracle.
+HUMOR_SQL = f"""COALESCE({_HUMOR_SUBSTR_SQL}
+             OR regexp_matches(message, '(?i)\\blol+\\b')
+             OR (regexp_matches(message, '{_JP_RE2}')
+                 AND regexp_matches(message, 'ｗ+$'))
+             OR regexp_matches(message, '(?i)(ha){{2,}}|(w{{2,}})|(o?l{{2,}}o+l+)'),
+             FALSE)"""
+
 _CLASSIFY_SQL = with_synth_ctes(f"""
     , base AS (
       SELECT seq, message, badge_text,
@@ -285,12 +294,7 @@ _CLASSIFY_SQL = with_synth_ctes(f"""
                        THEN CAST({_RANK_EXTRACT.format(g=1)} AS INT) * 12
                        ELSE CAST({_RANK_EXTRACT.format(g=1)} AS INT) END
                 ELSE -1 END AS INT) AS parsed_rank,
-           COALESCE({_HUMOR_SUBSTR_SQL}
-             OR regexp_matches(message, '(?i)\\blol+\\b')
-             OR (regexp_matches(message, '{_JP_RE2}')
-                 AND regexp_matches(message, 'ｗ+$'))
-             OR regexp_matches(message, '(?i)(ha){{2,}}|(w{{2,}})|(o?l{{2,}}o+l+)'),
-             FALSE) AS humor,
+           {HUMOR_SQL} AS humor,
            trim(regexp_replace(
              regexp_replace(
                regexp_replace(message, ':[^:\\s]+:', ' ', 'g'),
@@ -316,3 +320,184 @@ def message_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_humor(F.col("message")).alias("humor"),
         clean_chat_for_ai(F.col("message")).alias("cleaned"),
     ).orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# J10 + A11 — funniest timestamps (api.py:2708-2730 + feature_analysis.py:
+# 30-45): per video, the argmax 30 s humor bucket (weight = humor-message
+# count via F4, −10 s rewind) joined to the per-video last-chat CTE from
+# silver; relative ts = funniest − last_chat + duration.
+# ---------------------------------------------------------------------------
+_VIDEO_STATS_SQL = """
+      SELECT channel_id, video_id,
+             MAX(epoch_us(ts) // 1000000) AS end_epoch,
+             (MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000)) + 30
+               AS duration_sec
+      FROM msgs GROUP BY 1, 2
+"""
+
+
+@register(
+    "funniest_timestamps",
+    oracle=with_synth_ctes(f"""
+    , humor_buckets AS (
+      SELECT channel_id, video_id,
+             (epoch_us(ts) // 1000000) // 30 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS weight
+      FROM msgs WHERE {HUMOR_SQL}
+      GROUP BY 1, 2, 3
+    ), funniest AS (
+      SELECT channel_id, video_id, bucket * 30 - 10 AS funniest_epoch
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY channel_id, video_id
+                                     ORDER BY weight DESC, bucket ASC) AS rn
+        FROM humor_buckets
+      ) WHERE rn = 1
+    ), vids AS ({_VIDEO_STATS_SQL}
+    ), last_chat AS (
+      SELECT channel_id, video_id,
+             MAX(epoch_us(last_message_at) // 1000000) AS last_epoch
+      FROM ud GROUP BY 1, 2
+    )
+    SELECT ch.channel_name, v.video_id,
+           CAST(f.funniest_epoch AS BIGINT) AS funniest_epoch,
+           CAST(f.funniest_epoch - lc.last_epoch + v.duration_sec AS BIGINT)
+             AS relative_ts
+    FROM vids v
+    JOIN channels ch USING (channel_id)
+    JOIN last_chat lc ON lc.channel_id = v.channel_id AND lc.video_id = v.video_id
+    JOIN funniest f ON f.channel_id = v.channel_id AND f.video_id = v.video_id
+    ORDER BY ch.channel_name, v.video_id
+    """),
+    survey="J10,A11,T7,F4",
+)
+def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    msgs = synthetic_messages(ev)
+    humor_buckets = (
+        msgs.where(has_humor(F.col("message")))
+        .groupBy(
+            "channel_id",
+            "video_id",
+            (F.unix_timestamp("ts") / 30).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    w_f = Window.partitionBy("channel_id", "video_id").orderBy(
+        F.desc("weight"), F.asc("bucket")
+    )
+    funniest = (
+        humor_buckets.withColumn("rn", F.row_number().over(w_f))
+        .where(F.col("rn") == 1)
+        .select(
+            "channel_id",
+            "video_id",
+            (F.col("bucket") * 30 - 10).alias("funniest_epoch"),
+        )
+    )
+    vids = msgs.groupBy("channel_id", "video_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")) + 30
+        ).alias("duration_sec"),
+    )
+    ud = build_user_data(msgs)
+    last_chat = ud.groupBy("channel_id", "video_id").agg(
+        F.max(F.unix_timestamp("last_message_at")).alias("last_epoch")
+    )
+    return (
+        vids.join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        .join(last_chat, ["channel_id", "video_id"])
+        .join(funniest, ["channel_id", "video_id"])
+        .select(
+            "channel_name",
+            "video_id",
+            F.col("funniest_epoch").cast("bigint").alias("funniest_epoch"),
+            (
+                F.col("funniest_epoch") - F.col("last_epoch") + F.col("duration_sec")
+            )
+            .cast("bigint")
+            .alias("relative_ts"),
+        )
+        .orderBy("channel_name", "video_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 + A12 — highlight windows (api.py:2953-2971 + ai_summarizer.py:84-144):
+# top-3 15 s velocity buckets per video as the highlights table, joined to
+# the videos dim with relative start math (start − (end − duration)).
+# ---------------------------------------------------------------------------
+@register(
+    "highlight_windows",
+    oracle=with_synth_ctes(f"""
+    , vel AS (
+      SELECT channel_id, video_id,
+             (epoch_us(ts) // 1000000) // 15 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM msgs GROUP BY 1, 2, 3
+    ), highlights AS (
+      SELECT channel_id, video_id, bucket * 15 AS start_epoch, n_events
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY channel_id, video_id
+                                     ORDER BY n_events DESC, bucket ASC) AS rn
+        FROM vel
+      ) WHERE rn <= 3
+    ), vids AS ({_VIDEO_STATS_SQL})
+    SELECT ch.channel_name, v.video_id,
+           CAST(h.start_epoch AS BIGINT) AS start_epoch,
+           CAST(h.start_epoch - (v.end_epoch - v.duration_sec) AS BIGINT)
+             AS relative_seconds,
+           h.n_events
+    FROM highlights h
+    JOIN vids v ON v.channel_id = h.channel_id AND v.video_id = h.video_id
+    JOIN channels ch ON ch.channel_id = v.channel_id
+    ORDER BY ch.channel_name, v.video_id, start_epoch
+    """),
+    survey="J9,A12,T5",
+)
+def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    msgs = synthetic_messages(ev)
+    vel = msgs.groupBy(
+        "channel_id",
+        "video_id",
+        (F.unix_timestamp("ts") / 15).cast("bigint").alias("bucket"),
+    ).agg(F.count("*").alias("n_events"))
+    w_r = Window.partitionBy("channel_id", "video_id").orderBy(
+        F.desc("n_events"), F.asc("bucket")
+    )
+    highlights = (
+        vel.withColumn("rn", F.row_number().over(w_r))
+        .where(F.col("rn") <= 3)
+        .select(
+            "channel_id",
+            "video_id",
+            (F.col("bucket") * 15).alias("start_epoch"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    vids = msgs.groupBy("channel_id", "video_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")) + 30
+        ).alias("duration_sec"),
+    )
+    return (
+        highlights.join(vids, ["channel_id", "video_id"])
+        .join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        .select(
+            "channel_name",
+            "video_id",
+            F.col("start_epoch").cast("bigint").alias("start_epoch"),
+            (F.col("start_epoch") - (F.col("end_epoch") - F.col("duration_sec")))
+            .cast("bigint")
+            .alias("relative_seconds"),
+            "n_events",
+        )
+        .orderBy("channel_name", "video_id", "start_epoch")
+    )

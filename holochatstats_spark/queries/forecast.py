@@ -74,3 +74,296 @@ def linear_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2(fc - _Z90 * F.col("sd")).alias("ci_lower"),
         round2(fc + _Z90 * F.col("sd")).alias("ci_upper"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# V10-exact — the reference's statistical forecaster (forecaster.py:318-351)
+# reproduced term for term: MinMax scale to [0.1, 0.9], exp-linspace
+# weighted mean (n>=3), population std (n>1, else 0.1), trend =
+# (last-first)/n, horizon-3 forecasts clipped to [0.05, 0.95], inverse
+# transform, z intervals (1.645 / 0.674) with widening factor 1+0.2i and
+# a floor at 0. One groupBy per series + a broadcast horizon spine —
+# per-channel fits at 100 TB are distributed moment sums, never a collect.
+# ---------------------------------------------------------------------------
+@register(
+    "ewm_forecast",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS series,
+             date_trunc('month', o_orderdate) AS m,
+             SUM(o_totalprice) AS x
+      FROM orders GROUP BY 1, 2
+    ), idx AS (
+      SELECT series, x,
+             ROW_NUMBER() OVER (PARTITION BY series ORDER BY m) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY series) AS n,
+             MIN(x) OVER (PARTITION BY series) AS mn,
+             MAX(x) OVER (PARTITION BY series) AS mx
+      FROM monthly
+    ), scaled AS (
+      SELECT series, i, n, mn, mx,
+             0.1 + 0.8 * (x - mn) / (mx - mn) AS s,
+             exp(-1.0 + i / (n - 1.0)) AS w
+      FROM idx
+    ), fit AS (
+      SELECT series,
+             CAST(MAX(n) AS BIGINT) AS n_months,
+             MAX(mn) AS mn, MAX(mx) AS mx,
+             CASE WHEN MAX(n) >= 3 THEN SUM(s * w) / SUM(w)
+                  ELSE AVG(s) END AS wm,
+             CASE WHEN MAX(n) > 1 THEN stddev_pop(s) ELSE 0.1 END AS sd,
+             CASE WHEN MAX(n) >= 2
+                  THEN (arg_max(s, i) - arg_min(s, i)) / MAX(n)
+                  ELSE 0 END AS trend
+      FROM scaled GROUP BY series
+    ), horizons AS (
+      SELECT unnest(range(1, 4)) AS h
+    ), fc AS (
+      SELECT f.series, f.n_months, CAST(hz.h AS INT) AS h,
+             (LEAST(GREATEST(f.wm + f.trend * hz.h, 0.05), 0.95) - 0.1)
+               * (f.mx - f.mn) / 0.8 + f.mn AS orig,
+             f.sd * (f.mx - f.mn) / 0.8 AS sd_orig,
+             1 + 0.2 * (hz.h - 1) AS widen
+      FROM fit f CROSS JOIN horizons hz
+    )
+    SELECT series, n_months, h,
+           FLOOR(orig * 100 + 0.5) / 100 AS forecast,
+           FLOOR(GREATEST(0, orig - 1.645 * sd_orig * widen) * 100 + 0.5) / 100 AS ci_lower,
+           FLOOR(GREATEST(0, orig - 0.674 * sd_orig * widen) * 100 + 0.5) / 100 AS p25,
+           FLOOR((orig + 0.674 * sd_orig * widen) * 100 + 0.5) / 100 AS p75,
+           FLOOR((orig + 1.645 * sd_orig * widen) * 100 + 0.5) / 100 AS ci_upper
+    FROM fc
+    ORDER BY series, h
+    """,
+    survey="V10,V11-adjacent",
+)
+def ewm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from holochatstats_spark.functions.core import round_half_up
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+    ).agg(F.sum("o_totalprice").alias("x"))
+    w_s = Window.partitionBy("series")
+    idx = monthly.select(
+        "series",
+        "x",
+        (F.row_number().over(w_s.orderBy("m")) - 1).alias("i"),
+        F.count("*").over(w_s).alias("n"),
+        F.min("x").over(w_s).alias("mn"),
+        F.max("x").over(w_s).alias("mx"),
+    )
+    scaled = idx.select(
+        "series",
+        "i",
+        "n",
+        "mn",
+        "mx",
+        (0.1 + 0.8 * (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("s"),
+        F.exp(-1.0 + F.col("i") / (F.col("n") - 1.0)).alias("w"),
+    )
+    fit = scaled.groupBy("series").agg(
+        F.max("n").cast("bigint").alias("n_months"),
+        F.max("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.when(
+            F.max("n") >= 3, F.sum(F.col("s") * F.col("w")) / F.sum("w")
+        )
+        .otherwise(F.avg("s"))
+        .alias("wm"),
+        F.when(F.max("n") > 1, F.stddev_pop("s")).otherwise(F.lit(0.1)).alias("sd"),
+        F.when(
+            F.max("n") >= 2,
+            (F.max_by("s", "i") - F.min_by("s", "i")) / F.max("n"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("trend"),
+    )
+    horizons = spark.range(1, 4).select(F.col("id").cast("int").alias("h"))
+    fc = fit.crossJoin(F.broadcast(horizons)).select(
+        "series",
+        "n_months",
+        "h",
+        (
+            (
+                F.least(
+                    F.greatest(F.col("wm") + F.col("trend") * F.col("h"), F.lit(0.05)),
+                    F.lit(0.95),
+                )
+                - 0.1
+            )
+            * (F.col("mx") - F.col("mn"))
+            / 0.8
+            + F.col("mn")
+        ).alias("orig"),
+        (F.col("sd") * (F.col("mx") - F.col("mn")) / 0.8).alias("sd_orig"),
+        (1 + 0.2 * (F.col("h") - 1)).alias("widen"),
+    )
+    spread = F.col("sd_orig") * F.col("widen")
+    return fc.select(
+        "series",
+        "n_months",
+        "h",
+        round_half_up(F.col("orig"), 2).alias("forecast"),
+        round_half_up(F.greatest(F.lit(0.0), F.col("orig") - 1.645 * spread), 2).alias(
+            "ci_lower"
+        ),
+        round_half_up(F.greatest(F.lit(0.0), F.col("orig") - 0.674 * spread), 2).alias(
+            "p25"
+        ),
+        round_half_up(F.col("orig") + 0.674 * spread, 2).alias("p75"),
+        round_half_up(F.col("orig") + 1.645 * spread, 2).alias("ci_upper"),
+    ).orderBy("series", "h")
+
+
+# ---------------------------------------------------------------------------
+# V11 — month-spine gap fill WITH linear interpolation (forecaster.py:
+# 164-176: reindex → interpolate(method='linear') → fillna(0)). The r1
+# monthly_spine_gapfill only zero-filled; here interior gaps are linearly
+# interpolated between the surrounding observed months (window last/first
+# IGNORE NULLS), leading/trailing gaps fall back to 0. Months ≡ 1 (mod 3)
+# are withheld from the input so interpolation is actually exercised.
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_spine_interp",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS m,
+             SUM(o_totalprice) AS total
+      FROM orders
+      WHERE date_part('month', o_orderdate) % 3 <> 1
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS mn,
+             date_trunc('month', MAX(o_orderdate)) AS mx
+      FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS m FROM bounds
+    ), prios AS (
+      SELECT DISTINCT o_orderpriority FROM orders
+    ), joined AS (
+      SELECT p.o_orderpriority, sp.m,
+             CAST(date_part('year', sp.m) * 12 + date_part('month', sp.m) AS DOUBLE) AS pos,
+             s.total
+      FROM spine sp
+      CROSS JOIN prios p
+      LEFT JOIN src s ON s.o_orderpriority = p.o_orderpriority AND s.m = sp.m
+    ), ctx AS (
+      SELECT *,
+             last_value(total IGNORE NULLS) OVER w_prev AS prev_val,
+             last_value(CASE WHEN total IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER w_prev AS prev_pos,
+             first_value(total IGNORE NULLS) OVER w_next AS next_val,
+             first_value(CASE WHEN total IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER w_next AS next_pos
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY o_orderpriority ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY o_orderpriority ORDER BY m
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderpriority, strftime(m, '%Y-%m') AS month,
+           total IS NULL AS was_gap,
+           FLOOR(CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+               prev_val + (next_val - prev_val) * (pos - prev_pos)
+                          / (next_pos - prev_pos)
+             ELSE 0 END * 100 + 0.5) / 100 AS total_interp
+    FROM ctx
+    ORDER BY o_orderpriority, month
+    """,
+    survey="V11,F8,J8",
+)
+def monthly_spine_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from holochatstats_spark.functions.core import round_half_up
+
+    o = load_table(spark, sf_dir, "orders")
+    src = (
+        o.where(F.month("o_orderdate") % 3 != 1)
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("mn"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 MONTH"))).alias("m")
+    )
+    prios = o.select("o_orderpriority").distinct()
+    joined = (
+        spine.crossJoin(F.broadcast(prios))
+        .join(src, ["o_orderpriority", "m"], "left")
+        .withColumn(
+            "pos", (F.year("m") * 12 + F.month("m")).cast("double")
+        )
+    )
+    w_prev = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("m")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_pos = F.when(F.col("total").isNotNull(), F.col("pos"))
+    ctx = joined.select(
+        "o_orderpriority",
+        "m",
+        "pos",
+        "total",
+        F.last("total", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(obs_pos, ignorenulls=True).over(w_prev).alias("prev_pos"),
+        F.first("total", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(obs_pos, ignorenulls=True).over(w_next).alias("next_pos"),
+    )
+    interp = (
+        F.when(F.col("total").isNotNull(), F.col("total"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (F.col("pos") - F.col("prev_pos"))
+            / (F.col("next_pos") - F.col("prev_pos")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return ctx.select(
+        "o_orderpriority",
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.col("total").isNull().alias("was_gap"),
+        round_half_up(interp, 2).alias("total_interp"),
+    ).orderBy("o_orderpriority", "month")
+
+
+# ---------------------------------------------------------------------------
+# V9 — grouped-map ML forecaster (rows-only: nondeterministic across BLAS
+# builds in principle, and the reference's LSTM (forecaster.py:201-273) is
+# torch + MC-dropout — excluded from the hash oracle per SURVEY §5).
+# ---------------------------------------------------------------------------
+@register(
+    "ml_forecast",
+    oracle=None,
+    survey="V9",
+)
+def ml_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from holochatstats_spark.operators.forecast_ml import forecast_per_series
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+    ).agg(F.sum("o_totalprice").alias("x"))
+    return forecast_per_series(monthly).orderBy("series", "h")

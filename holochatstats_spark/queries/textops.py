@@ -472,12 +472,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash fingerprints (28-bit, portable md5 token hashes), with bucket
-# sizes for exact-bucket near-dup grouping.
+# sizes for exact-bucket near-dup grouping. Hamming-distance near-dup
+# grouping lives in queries/neardup.py (simhash_neardup_pairs), which
+# reuses these shared CTEs / this builder.
 # ---------------------------------------------------------------------------
-@register(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH t AS (
+SIMHASH_BITS = 28
+
+#: DuckDB CTEs ending in hashes(doc_id, simhash) — shared with neardup.py.
+SIMHASH_CTES_DUCK = f"""
+    t AS (
       SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
     ), tok AS (
       SELECT doc_id, unnest(toks) AS tok FROM t
@@ -490,21 +493,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN SUM(cnt * (2 * ((h // CAST(pow(2, j.j) AS BIGINT)) % 2) - 1)) > 0
                   THEN 1 ELSE 0 END AS bit
       FROM tok_counts
-      CROSS JOIN (SELECT unnest(range(0, 28)) AS j) j
+      CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) j
       GROUP BY doc_id, j.j
     ), hashes AS (
       SELECT doc_id,
              CAST(SUM(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id
-    )
-    SELECT h.doc_id, h.simhash,
-           CAST(COUNT(*) OVER (PARTITION BY h.simhash) AS BIGINT) AS bucket_size
-    FROM hashes h
-    ORDER BY doc_id
-    """,
-    survey="dedup-simhash",
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the Spark twin of SIMHASH_CTES_DUCK."""
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode("toks").alias("tok"))
     tok_counts = toks.groupBy("doc_id", "tok").agg(
@@ -513,7 +512,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
-    jseq = spark.range(0, 28).select(F.col("id").cast("int").alias("j"))
+    jseq = spark.range(0, SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
     bits = (
         tok_counts.crossJoin(F.broadcast(jseq))
         .groupBy("doc_id", "j")
@@ -530,11 +529,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bit")
         )
     )
-    hashes = bits.groupBy("doc_id").agg(
+    return bits.groupBy("doc_id").agg(
         F.sum(F.col("bit") * F.expr("cast(pow(2, j) as bigint)"))
         .cast("bigint")
         .alias("simhash")
     )
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {SIMHASH_CTES_DUCK}
+    SELECT h.doc_id, h.simhash,
+           CAST(COUNT(*) OVER (PARTITION BY h.simhash) AS BIGINT) AS bucket_size
+    FROM hashes h
+    ORDER BY doc_id
+    """,
+    survey="dedup-simhash",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashes = simhash_df(spark, sf_dir)
     w = Window.partitionBy("simhash")
     return hashes.select(
         "doc_id",

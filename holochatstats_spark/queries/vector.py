@@ -9,10 +9,11 @@ unique tie-break key.
 
 Scale notes: the brute-force k-NN broadcasts the (tiny) query side and is
 a single scan + TakeOrdered — the right baseline at any corpus size that
-fits a scan budget; the LSH-bucketed variant (operators/ann.py) is the
-100 TB path. The V1 similarity self-join stays LONG (never pivots to a
-user×key matrix, unlike the reference's pandas pivot api.py:462-467) and
-shuffles once on the join key.
+fits a scan budget; the LSH-bucketed variant (operators/ann.py, exercised
+by queries/neardup.py:embedding_neardup_lsh) is the 100 TB path. The V1
+similarity self-join stays LONG (never pivots to a user×key matrix, unlike
+the reference's pandas pivot api.py:462-467) and shuffles once on the
+join key.
 """
 
 from __future__ import annotations
@@ -189,9 +190,11 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding near-duplicate detection (training-data pipeline op): pairs
-# within the same label block whose cosine exceeds a threshold. Blocking by
-# label bounds the pair space (the 100 TB pattern: block → verify).
+# Embedding near-duplicate detection, label-blocked baseline: pairs within
+# the same label block whose cosine exceeds a threshold. A block is
+# all-pairs internally, so this is the SMALL-block variant only; the scale
+# path is the LSH-bucketed embedding_neardup_lsh (queries/neardup.py),
+# which needs no labels and never goes quadratic within a shuffle key.
 # ---------------------------------------------------------------------------
 @register(
     "embedding_neardup_pairs",

@@ -1,0 +1,113 @@
+"""Bronze loop round-trips (VERDICT r1 item 9): the sources/ layer stops
+being dead code — write a month, re-read it, diff; parse a JSONL.gz chat
+log; parse a per-channel metadata dict."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from holochatstats_spark.sources.chat_logs import read_chat_logs
+from holochatstats_spark.sources.video_metadata import read_video_metadata
+from holochatstats_spark.sources.writers import write_month_partitioned
+
+
+def test_chat_log_jsonl_gz_roundtrip(spark, tmp_path):
+    log_dir = tmp_path / "chat_logs"
+    log_dir.mkdir()
+    records = [
+        {
+            "user_id": "u1",
+            "username": "Alice",
+            "timestamp": 1_704_067_200_000_000,  # 2024-01-01T00:00:00Z in µs
+            "membership_rank": 2,
+            "message_category": "jp",
+            "message": "こんにちは",
+            "message_type": "chat",
+            "gifter": None,
+        },
+        {
+            "user_id": "u2",
+            "username": "Bob",
+            "timestamp": 1_704_067_260_500_000,
+            "membership_rank": -1,
+            "message_category": "es_en_id",
+            "message": "hi",
+            "message_type": "chat",
+            "gifter": None,
+        },
+    ]
+    with gzip.open(log_dir / "vid123.jsonl.gz", "wt", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+    df = read_chat_logs(spark, str(log_dir), channel_id="ch9")
+    rows = {r["user_id"]: r for r in df.collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert rows["u1"]["video_id"] == "vid123"
+    assert rows["u1"]["channel_id"] == "ch9"
+    # F13: µs epoch → timestamp, sub-second preserved
+    assert rows["u1"]["ts"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert rows["u2"]["ts"] == dt.datetime(2024, 1, 1, 0, 1, 0, 500000)
+    assert rows["u1"]["message"] == "こんにちは"
+
+
+def test_write_month_partitioned_is_idempotent_per_month(spark, tmp_path):
+    path = str(tmp_path / "gold")
+    schema = "k string, v bigint, observed_month date"
+    jan = [("a", 1, dt.date(2024, 1, 1)), ("b", 2, dt.date(2024, 1, 1))]
+    feb = [("c", 3, dt.date(2024, 2, 1))]
+    write_month_partitioned(spark.createDataFrame(jan + feb, schema), path)
+
+    # overwrite ONLY January with new contents; February must survive
+    jan2 = [("z", 9, dt.date(2024, 1, 1))]
+    write_month_partitioned(spark.createDataFrame(jan2, schema), path)
+
+    got = {
+        (r["k"], r["v"], r["_month"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("z", 9, "2024-01"), ("c", 3, "2024-02")}
+
+
+def test_write_month_partitioned_restores_conf(spark, tmp_path):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    df = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1))], "k string, observed_month date"
+    )
+    write_month_partitioned(df, str(tmp_path / "conf_probe"))
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)
+
+
+def test_read_video_metadata_dict_file(spark, tmp_path):
+    meta_dir = tmp_path / "videos"
+    meta_dir.mkdir()
+    payload = {
+        "vidA": {
+            "title": "Stream A",
+            "end_time": "2024-03-01T12:00:00Z",
+            "duration": 3600,
+        },
+        "vidB": {
+            "title": "Stream B",
+            "end_time": "2024-03-02T09:30:00Z",
+            "duration": 5400,
+        },
+    }
+    (meta_dir / "ch42.json").write_text(json.dumps(payload))
+
+    df = read_video_metadata(spark, str(meta_dir))
+    rows = {r["video_id"]: r for r in df.collect()}
+    assert set(rows) == {"vidA", "vidB"}
+    assert rows["vidA"]["channel_id"] == "ch42"
+    assert rows["vidA"]["title"] == "Stream A"
+    assert rows["vidA"]["duration_sec"] == 3600
+    assert rows["vidB"]["end_time"] == dt.datetime(2024, 3, 2, 9, 30, 0)
+    # A3/F7 shape: hours math runs natively on duration_sec
+    hours = df.agg(F.sum(F.col("duration_sec") / 3600).alias("h")).first()["h"]
+    assert hours == 2.5
