@@ -28,6 +28,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,41 +58,47 @@ def quantize_expr(emb_col: str) -> Column:
     )
 
 
-def band_values(emb_col: str, dim: int) -> Column:
-    """array<int> of N_BANDS packed band bucket values for one vector."""
-    planes = hyperplanes(dim)
-    plane_arrays = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in planes]
-    )
-    qe = quantize_expr(emb_col)
-    # bit_p = 1 iff sum_d qe[d] * plane[p][d] > 0  (pure bigint arithmetic)
-    bits = F.transform(
-        plane_arrays,
-        lambda plane: F.when(
-            F.aggregate(
-                F.zip_with(qe, plane, lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    def _pack(b: Column) -> Column:
-        val = F.lit(0)
-        for j in range(BAND_BITS):  # static bit positions: plain int shifts
-            val = val + F.element_at(bits, b * BAND_BITS + j + 1) * (1 << j)
-        return val
+def band_values_udf(dim: int):
+    """Arrow-vectorized signature computation: quantize -> int64 matmul
+    against the plane matrix -> sign bits -> packed band values.
 
-    return F.transform(F.sequence(F.lit(0), F.lit(N_BANDS - 1)), _pack)
+    This is a deliberate pandas_udf, not Catalyst expressions: a
+    24-plane x 64-dim dot product per row is a dense integer matmul, which
+    numpy executes vectorized per Arrow batch, while the equivalent
+    higher-order-function expression tree falls outside whole-stage
+    codegen and evaluates interpreted per element (measured ~7 ms/row at
+    sf0.1 before this change). All arithmetic stays int64 -- bit-identical
+    to the SQL twin, which computes the same products as list_sum of
+    BIGINTs.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(hyperplanes(dim), dtype=np.int64)  # (N_PLANES, dim)
+    shifts = 1 << np.arange(BAND_BITS, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _bands(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy())  # (n, dim) float32
+        Q = np.floor(E.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+        bits = (Q @ P.T) > 0  # (n, N_PLANES) -- exact int64 accumulate
+        packed = [
+            (bits[:, b * BAND_BITS : (b + 1) * BAND_BITS] * shifts).sum(axis=1)
+            for b in range(N_BANDS)
+        ]
+        vals = np.stack(packed, axis=1).astype(np.int32)  # (n, N_BANDS)
+        return pd.Series(list(vals))
+
+    return _bands
 
 
 def lsh_buckets(df: DataFrame, id_col: str, emb_col: str, dim: int) -> DataFrame:
-    """(id, band, band_val) — one row per (vector, band); the equality-join
+    """(id, band, band_val) -- one row per (vector, band); the equality-join
     key for candidate generation."""
     return df.select(
         F.col(id_col),
-        F.posexplode(band_values(emb_col, dim)).alias("band", "band_val"),
+        F.posexplode(band_values_udf(dim)(F.col(emb_col))).alias(
+            "band", "band_val"
+        ),
     )
 
 

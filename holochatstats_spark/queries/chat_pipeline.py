@@ -501,3 +501,163 @@ def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel_name", "video_id", "start_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# A3 + F7 + P8 — parameterized streaming-hours family (web/utils.py:261-285
+# SUM/AVG/MAX of EXTRACT(EPOCH FROM duration)/3600, used by three endpoints
+# api.py:1255/1294/1333) with the ignore-list anti-filter
+# (utils/helpers.py:67-143 applied at cache_manager.py:222-224): videos on
+# the ignore list are excluded via a left_anti join against the small list.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_hours_agg",
+    oracle=with_synth_ctes(f"""
+    , vids AS ({_VIDEO_STATS_SQL}
+    ), ignored AS (
+      SELECT DISTINCT video_id FROM msgs WHERE video_id LIKE '%-15'
+    ), kept AS (
+      SELECT v.* FROM vids v WHERE v.video_id NOT IN (SELECT video_id FROM ignored)
+    ), monthly AS (
+      SELECT channel_id,
+             strftime(make_timestamp(end_epoch * 1000000), '%Y-%m') AS month,
+             SUM(duration_sec / 3600.0) AS sum_h,
+             AVG(duration_sec / 3600.0) AS avg_h,
+             MAX(duration_sec / 3600.0) AS max_h,
+             CAST(COUNT(*) AS BIGINT) AS n_videos
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT ch.channel_name, m.month,
+           FLOOR(m.sum_h * 100 + 0.5) / 100 AS total_hours,
+           FLOOR(m.avg_h * 100 + 0.5) / 100 AS avg_hours,
+           FLOOR(m.max_h * 100 + 0.5) / 100 AS max_hours,
+           m.n_videos
+    FROM monthly m JOIN channels ch USING (channel_id)
+    ORDER BY ch.channel_name, m.month
+    """),
+    survey="A3,F7,P8,J1,T6",
+)
+def streaming_hours_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from holochatstats_spark.functions.core import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    msgs = synthetic_messages(ev)
+    vids = msgs.groupBy("channel_id", "video_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+        (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")) + 30
+        ).alias("duration_sec"),
+    )
+    ignored = (
+        msgs.select("video_id").distinct().where(F.col("video_id").endswith("-15"))
+    )
+    kept = vids.join(ignored, "video_id", "left_anti")
+    hours = F.col("duration_sec") / 3600.0
+    monthly = kept.groupBy(
+        "channel_id",
+        F.date_format(F.timestamp_seconds(F.col("end_epoch")), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(
+        F.sum(hours).alias("sum_h"),
+        F.avg(hours).alias("avg_h"),
+        F.max(hours).alias("max_h"),
+        F.count("*").cast("bigint").alias("n_videos"),
+    )
+    return (
+        monthly.join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        .select(
+            "channel_name",
+            "month",
+            round_half_up(F.col("sum_h"), 2).alias("total_hours"),
+            round_half_up(F.col("avg_h"), 2).alias("avg_hours"),
+            round_half_up(F.col("max_h"), 2).alias("max_hours"),
+            "n_videos",
+        )
+        .orderBy("channel_name", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4-on-gold — exclusive chat users per channel within a group
+# (api.py:2176-2251), read from the mv_user_activity gold build
+# (operators/gold.py:user_activity — the MV whose missing message-count
+# column is the reference's latent bug, SURVEY §2.6 J4; our build includes
+# it). A user is exclusive to a channel iff they have no activity on any
+# OTHER channel of the same group in the month.
+# ---------------------------------------------------------------------------
+@register(
+    "exclusive_group_users",
+    oracle=with_synth_ctes("""
+    , ua AS (
+      SELECT ud.user_id, ud.channel_id, ch.channel_group,
+             CAST(date_trunc('month', ud.last_message_at) AS DATE) AS observed_month,
+             CAST(SUM(ud.total_message_count) AS BIGINT) AS total_messages
+      FROM ud JOIN channels ch USING (channel_id)
+      WHERE ud.total_message_count > 0
+      GROUP BY 1, 2, 3, 4
+    ), per_user AS (
+      SELECT user_id, channel_group, observed_month,
+             MIN(channel_id) AS only_channel,
+             COUNT(DISTINCT channel_id) AS n_channels
+      FROM ua GROUP BY 1, 2, 3
+    ), exclusives AS (
+      SELECT only_channel AS channel_id, observed_month,
+             CAST(COUNT(*) AS BIGINT) AS n_exclusive
+      FROM per_user WHERE n_channels = 1 GROUP BY 1, 2
+    ), totals AS (
+      SELECT channel_id, observed_month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+      FROM ua GROUP BY 1, 2
+    )
+    SELECT ch.channel_name, t.observed_month,
+           COALESCE(e.n_exclusive, 0) AS n_exclusive,
+           t.n_total,
+           FLOOR((COALESCE(e.n_exclusive, 0) * 100.0
+                  / NULLIF(CAST(t.n_total AS DOUBLE), 0)) * 100 + 0.5) / 100
+             AS pct_exclusive
+    FROM totals t
+    LEFT JOIN exclusives e
+      ON e.channel_id = t.channel_id AND e.observed_month = t.observed_month
+    JOIN channels ch ON ch.channel_id = t.channel_id
+    ORDER BY ch.channel_name, t.observed_month
+    """),
+    survey="J4,A8,gold",
+)
+def exclusive_group_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from holochatstats_spark.operators.gold import user_activity
+
+    ev = load_table(spark, sf_dir, "events")
+    ua = user_activity(
+        build_user_data(synthetic_messages(ev)), synthetic_channels(ev)
+    )
+    per_user = ua.groupBy("user_id", "channel_group", "observed_month").agg(
+        F.min("channel_id").alias("only_channel"),
+        F.countDistinct("channel_id").alias("n_channels"),
+    )
+    exclusives = (
+        per_user.where(F.col("n_channels") == 1)
+        .groupBy(
+            F.col("only_channel").alias("channel_id"), "observed_month"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_exclusive"))
+    )
+    totals = ua.groupBy("channel_id", "observed_month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_total")
+    )
+    return (
+        totals.join(exclusives, ["channel_id", "observed_month"], "left")
+        .join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        .select(
+            "channel_name",
+            "observed_month",
+            F.coalesce(F.col("n_exclusive"), F.lit(0)).cast("bigint").alias(
+                "n_exclusive"
+            ),
+            "n_total",
+            pct_round(
+                F.coalesce(F.col("n_exclusive"), F.lit(0)), F.col("n_total")
+            ).alias("pct_exclusive"),
+        )
+        .orderBy("channel_name", "observed_month")
+    )

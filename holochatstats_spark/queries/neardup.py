@@ -25,7 +25,12 @@ from holochatstats_spark.queries.vector import dot_expr
 from holochatstats_spark.tables import load_table
 
 EMB_DIM = 64
-COSINE_THRESHOLD = 0.9
+# The synthetic embeddings top out at pairwise cosine ~0.51 (no true
+# near-dups), so the production-style 0.9 threshold would make the oracle
+# trivially empty; 0.3 exercises non-empty candidate generation + exact
+# verification. The threshold is a constant fed to BOTH engines — raising
+# it to 0.9 for real corpora changes nothing structural.
+COSINE_THRESHOLD = 0.3
 HAMMING_THRESHOLD = 3
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 7

@@ -256,3 +256,140 @@ def tfidf_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# V3 — percentile edge thresholding (api.py:471-476: np.percentile over the
+# similarity matrix, keep edges above it). Discrete element selection (the
+# value at rank floor((n-1)*p)+1), same contract as price_percentiles.
+# The ranking window is unpartitioned BUT bounded: its input is the K×K
+# similarity matrix (K = #channels ≈ 80 in the reference), which does not
+# grow with message volume — the data-sized work happened upstream in the
+# V1 self-join.
+# ---------------------------------------------------------------------------
+_SIMS_SQL = """
+      SELECT w1.event_type AS type_a, w2.event_type AS type_b,
+             ROUND(SUM(w1.cnt * w2.cnt)
+                   / NULLIF(MAX(na.nrm) * MAX(nb.nrm), 0), 6) AS cosine_sim
+      FROM w w1
+      JOIN w w2 ON w1.user_id = w2.user_id AND w1.event_type < w2.event_type
+      JOIN norms na ON na.event_type = w1.event_type
+      JOIN norms nb ON nb.event_type = w2.event_type
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "similarity_edges",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ), norms AS (
+      SELECT event_type, sqrt(SUM(cnt * cnt)) AS nrm FROM w GROUP BY 1
+    ), sims AS ({_SIMS_SQL}
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cosine_sim, type_a, type_b) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sims
+    ), thr AS (
+      SELECT cosine_sim AS t FROM ranked
+      WHERE rn = CAST(FLOOR((n - 1) * 0.5) + 1 AS BIGINT)
+    )
+    SELECT s.type_a, s.type_b, s.cosine_sim
+    FROM sims s, thr
+    WHERE s.cosine_sim >= thr.t
+    ORDER BY s.type_a, s.type_b
+    """,
+    survey="V3,V1",
+)
+def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sims = _type_sims(spark, sf_dir)
+    w_all = Window.partitionBy()  # bounded: K×K rows, K = #channel keys
+    ranked = sims.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy("cosine_sim", "type_a", "type_b")
+        ),
+    ).withColumn("n", F.count("*").over(w_all))
+    thr = ranked.where(
+        F.col("rn") == (F.floor((F.col("n") - 1) * 0.5) + 1).cast("bigint")
+    ).select(F.col("cosine_sim").alias("t"))
+    return (
+        sims.crossJoin(F.broadcast(thr))
+        .where(F.col("cosine_sim") >= F.col("t"))
+        .select("type_a", "type_b", "cosine_sim")
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _type_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine over event-type user vectors (V1 long form)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    norms = w.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    )
+    w1, w2 = w.alias("w1"), w.alias("w2")
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        w1.join(
+            w2,
+            (F.col("w1.user_id") == F.col("w2.user_id"))
+            & (F.col("w1.event_type") < F.col("w2.event_type")),
+        )
+        .join(F.broadcast(na), F.col("na.event_type") == F.col("w1.event_type"))
+        .join(F.broadcast(nb), F.col("nb.event_type") == F.col("w2.event_type"))
+        .groupBy(
+            F.col("w1.event_type").alias("type_a"),
+            F.col("w2.event_type").alias("type_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("w1.cnt") * F.col("w2.cnt"))
+                / F.nullif(F.max(F.col("na.nrm")) * F.max(F.col("nb.nrm")), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4 — channel clustering (api.py:418-487: V1 similarity → V3 threshold →
+# Leiden). Distributed up to the edge list; the graph partition runs on
+# the driver (operators/graph.py: leiden if importable, else deterministic
+# greedy modularity, else components). Rows-only: community detection is
+# fenced from the hash oracle (SURVEY §5).
+# ---------------------------------------------------------------------------
+@register(
+    "channel_clustering",
+    oracle=None,
+    survey="V4,V3,V1,A13",
+)
+def channel_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from holochatstats_spark.operators.graph import detect_communities
+
+    sims = _type_sims(spark, sf_dir)
+    ranked = sims.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("cosine_sim", "type_a", "type_b")),
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    thr = ranked.where(
+        F.col("rn") == (F.floor((F.col("n") - 1) * 0.5) + 1).cast("bigint")
+    ).select(F.col("cosine_sim").alias("t"))
+    edges = (
+        sims.crossJoin(F.broadcast(thr))
+        .where(F.col("cosine_sim") >= F.col("t"))
+        .select(
+            F.col("type_a").alias("src"),
+            F.col("type_b").alias("dst"),
+            F.col("cosine_sim").alias("weight"),
+        )
+    )
+    return detect_communities(edges).orderBy("node")

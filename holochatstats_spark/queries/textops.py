@@ -370,11 +370,49 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH banding (dedup at scale). Signature h_i(doc) =
-# min over shingles of md5_60bit(i || '|' || shingle); 16 hashes in 4 bands
-# of 4; candidate pairs share at least one full band signature; estimated
-# Jaccard = fraction of matching signature positions.
+# MinHash + LSH banding (dedup at scale). ONE md5 per shingle; the 16
+# hash functions are affine permutations h_i(x) = (a_i*x + b_i) mod P over
+# the md5-derived base hash (P = 2^31-1 so a_i*x stays in int64 — the
+# standard universal-hash MinHash construction). r1 computed 16 md5s per
+# shingle via a 16x crossJoin row explosion (VERDICT r1 flagged it as 41%
+# of bench time); now the WHOLE signature is one groupBy with 16 min
+# aggregates — zero row explosion, map-side partial mins.
+# Bands of 4: candidates share a full band signature; estimated Jaccard =
+# fraction of agreeing positions (k/16 values are exact at 4dp, so plain
+# ROUND is tie-safe).
 # ---------------------------------------------------------------------------
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) from md5 — both engines regenerate them
+    (they are baked into the query strings as literals)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+    return a, b
+
+
+_AFFINE = [_affine_params(i) for i in range(1, N_HASHES + 1)]
+
+_SIG_COLS_DUCK = ",\n             ".join(
+    f"MIN(({a} * h0 + {b}) % {MINHASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_AFFINE, start=1)
+)
+_BAND_SIGS_DUCK = ", ".join(
+    "concat_ws('-', "
+    + ", ".join(f"mh{b * BAND_SIZE + j + 1}" for j in range(BAND_SIZE))
+    + ")"
+    for b in range(N_HASHES // BAND_SIZE)
+)
+_EST_DUCK = (
+    "("
+    + " + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(1, N_HASHES + 1))
+    + f") / {N_HASHES}.0"
+)
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
@@ -382,28 +420,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM t
-    ), hseq AS (
-      SELECT unnest(range(1, {N_HASHES + 1})) AS h
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h0
+      FROM sh
     ), sig AS (
-      SELECT doc_id, h,
-             MIN(('0x' || substr(md5(h::VARCHAR || '|' || shingle), 1, 15))::BIGINT) AS mh
-      FROM sh CROSS JOIN hseq
-      GROUP BY doc_id, h
+      SELECT doc_id,
+             {_SIG_COLS_DUCK}
+      FROM hashed GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, CAST((h - 1) / {BAND_SIZE} AS BIGINT) AS band,
-             string_agg(mh::VARCHAR, '-' ORDER BY h) AS band_sig
-      FROM sig GROUP BY 1, 2
+      SELECT doc_id, b.band, ([{_BAND_SIGS_DUCK}])[b.band + 1] AS band_sig
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {N_HASHES // BAND_SIZE})) AS band) b
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           ROUND(AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+           ROUND({_EST_DUCK}, 4) AS est_jaccard
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.doc_a
-    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
-    GROUP BY c.doc_a, c.doc_b
+    JOIN sig sb ON sb.doc_id = c.doc_b
     ORDER BY c.doc_a, c.doc_b
     """,
     survey="dedup-minhash-lsh",
@@ -411,31 +448,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir).drop("lang")
-    hseq = spark.range(1, N_HASHES + 1).select(F.col("id").cast("int").alias("h"))
-    mh_expr = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("shingle"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    sig = (
-        sh.crossJoin(F.broadcast(hseq))
-        .groupBy("doc_id", "h")
-        .agg(F.min(mh_expr).alias("mh"))
+    hashed = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+            % MINHASH_P
+        ).alias("h0"),
     )
-    bands = sig.groupBy(
-        "doc_id", ((F.col("h") - 1) / BAND_SIZE).cast("bigint").alias("band")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("h", "mh"))),
-                lambda x: x.mh.cast("string"),
-            ),
-            "-",
-        ).alias("band_sig")
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_AFFINE, start=1)
+        ]
+    )
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * BAND_SIZE + j + 1}").cast("string")
+                    for j in range(BAND_SIZE)
+                ],
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -451,20 +490,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = None
+    for i in range(1, N_HASHES + 1):
+        term = F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
     return (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.h") == F.col("sa.h")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.avg(
-                    F.when(F.col("sa.mh") == F.col("sb.mh"), 1.0).otherwise(0.0)
-                ),
-                4,
-            ).alias("est_jaccard")
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(N_HASHES), 4).alias("est_jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )

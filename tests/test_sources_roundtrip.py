@@ -111,3 +111,16 @@ def test_read_video_metadata_dict_file(spark, tmp_path):
     # A3/F7 shape: hours math runs natively on duration_sec
     hours = df.agg(F.sum(F.col("duration_sec") / 3600).alias("h")).first()["h"]
     assert hours == 2.5
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [("a", 1, 2.5), ("b", 2, 3.5)], "k string, n bigint, v double"
+    )
+    from holochatstats_spark.sources.writers import export_csv
+
+    export_csv(df, path)
+    back = spark.read.option("header", "true").csv(path)
+    got = {(r["k"], int(r["n"]), float(r["v"])) for r in back.collect()}
+    assert got == {("a", 1, 2.5), ("b", 2, 3.5)}
