@@ -537,3 +537,29 @@ def velocity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "burst_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# The 100 TB opt-in variant of the daily rollup (SURVEY §2.4 note): exact
+# COUNT(DISTINCT user) is the oracle contract, but at scale the HLL sketch
+# is the right default — approx_count_distinct is a fixed-size mergeable
+# sketch (no per-key distinct state, pure map-side combine). Rows-only:
+# HLL estimates are engine-specific by nature; the exact twin
+# (daily_event_rollup) remains the correctness anchor.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_event_rollup_approx",
+    oracle=None,
+    survey="A5-approx,scale-variant",
+)
+def daily_event_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

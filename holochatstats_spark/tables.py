@@ -37,6 +37,12 @@ BROADCAST_DIMS = ("region", "nation", "supplier", "part", "customer")
 # vectorized reader rejects. We read nanos as INT64 (legacy conf) and
 # rebuild proper TimestampType columns (µs precision — all query semantics
 # are second-grained or coarser, same as DuckDB's ns view of the files).
+# ADVICE r1 precision risk: the oracle reads full ns while Spark sees µs —
+# verified empirically that every ts in sf0.001/sf0.01/sf0.1 has ZERO
+# sub-µs component (epoch_ns % 1000 == 0 for all rows), and the generator
+# is seed-fixed, so the truncation is value-preserving on this data; new
+# oracle queries that OUTPUT raw timestamps still truncate explicitly via
+# make_timestamp(epoch_ns // 1000) (see operators/synth.py).
 _NANO_TS_COLUMNS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
