@@ -31,6 +31,7 @@ from holochatstats_spark.operators.gold import (
 )
 from holochatstats_spark.operators.ingest import build_user_data
 from holochatstats_spark.operators.synth import (
+    SYNTH_MESSAGES_SQL,
     synthetic_channels,
     synthetic_messages,
     with_synth_ctes,
@@ -252,22 +253,28 @@ _HUMOR_SUBSTR_SQL = " OR ".join(
 
 _RANK_EXTRACT = "regexp_extract(lower(trim(badge_text)), '(\\d+)\\s*(month|year)', {g})"
 
+#: RE2's \b is ASCII-word based, but Java's \b (and Python re's, which
+#: the reference uses) is Unicode-aware: '다LOL！' has NO boundary before
+#: the L (Hangul is a word char). Emulate the Unicode boundary explicitly
+#: — found by the cross-engine fuzz corpus, tests/test_classify_fuzz.py.
+_LOL_BOUNDED_RE2 = r"(?i)(^|[^\p{L}\p{N}_])lol+($|[^\p{L}\p{N}_])"
+
 #: F4 has_humor as a DuckDB boolean expression over a `message` column —
 #: shared by message_classification and the J10 funniest-timestamp oracle.
 HUMOR_SQL = f"""COALESCE({_HUMOR_SUBSTR_SQL}
-             OR regexp_matches(message, '(?i)\\blol+\\b')
+             OR regexp_matches(message, '{_LOL_BOUNDED_RE2}')
              OR (regexp_matches(message, '{_JP_RE2}')
                  AND regexp_matches(message, 'ｗ+$'))
              OR regexp_matches(message, '(?i)(ha){{2,}}|(w{{2,}})|(o?l{{2,}}o+l+)'),
              FALSE)"""
 
-_CLASSIFY_SQL = with_synth_ctes(f"""
-    , base AS (
+_CLASSIFY_BODY = f"""
+    WITH base AS (
       SELECT seq, message, badge_text,
              trim(message) AS stripped,
              lower(trim(message)) AS lowered,
              regexp_replace(trim(message), ':[^:\\s]+:', '', 'g') AS no_sc
-      FROM msgs
+      FROM __SOURCE__
     ), emoji AS (
       SELECT *, regexp_replace(no_sc, '{_EMOJI_RE2}', '', 'g') AS no_em
       FROM base
@@ -301,13 +308,25 @@ _CLASSIFY_SQL = with_synth_ctes(f"""
                'https?://\\S+', ' ', 'g'),
              '\\s+', ' ', 'g')) AS cleaned
     FROM flags
-    ORDER BY seq
-    """)
+    """
+
+
+def classification_sql(source: str) -> str:
+    """The full F1–F5 DuckDB twin over any relation exposing
+    (seq, message, badge_text) — parameterized so the fuzz-corpus test
+    (tests/test_classify_fuzz.py) can run it against arbitrary strings,
+    not just the curated synth pool. No trailing ORDER BY (callers add
+    their own)."""
+    return _CLASSIFY_BODY.replace("__SOURCE__", source)
 
 
 @register(
     "message_classification",
-    oracle=_CLASSIFY_SQL,
+    oracle=(
+        f"WITH msgs AS ({SYNTH_MESSAGES_SQL})\n"
+        f"SELECT * FROM ({classification_sql('msgs')})\n"
+        f"ORDER BY seq"
+    ),
     survey="F1,F2,F3,F4,F5",
 )
 def message_classification(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -283,3 +283,134 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# V8-IVF — inverted-file k-NN, the coarse-quantized scale path for
+# similarity search (complements embedding_neardup_lsh): K centroids
+# (per-label elementwise means, components rounded to 6dp so both engines
+# compute identical assignment dots), every vector assigned to its nearest
+# centroid (one broadcast crossJoin against K rows), queries probe only
+# the NPROBE nearest buckets — the scan shrinks from N vectors to
+# ~N*NPROBE/K. Brute-force knn_cosine stays the exact recall baseline.
+# ---------------------------------------------------------------------------
+IVF_NPROBE = 2
+
+
+@register(
+    "ivf_knn_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    ), cent0 AS (
+      SELECT label AS bucket, pos, ROUND(AVG(x), 6) AS c
+      FROM flat GROUP BY 1, 2
+    ), cent AS (
+      SELECT bucket, list(c ORDER BY pos) AS cvec FROM cent0 GROUP BY bucket
+    ), centn AS (
+      SELECT bucket, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnrm FROM cent
+    ), assign AS (
+      SELECT vec_id, bucket FROM (
+        SELECT e.vec_id, c.bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_dot_product(e.v, c.cvec)
+                                / NULLIF(e.nrm * c.cnrm, 0), 6) DESC,
+                          c.bucket ASC) AS rn
+        FROM e CROSS JOIN centn c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT v, nrm FROM e WHERE vec_id = 0
+    ), probes AS (
+      SELECT bucket FROM (
+        SELECT c.bucket,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_dot_product(q.v, c.cvec)
+                                / NULLIF(q.nrm * c.cnrm, 0), 6) DESC,
+                          c.bucket ASC) AS rn
+        FROM centn c CROSS JOIN q
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT e.vec_id, e.label, a.bucket,
+           ROUND(list_dot_product(e.v, q.v) / NULLIF(e.nrm * q.nrm, 0), 6)
+             AS cosine_sim
+    FROM e
+    JOIN assign a USING (vec_id)
+    JOIN probes p ON p.bucket = a.bucket
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    survey="V8-IVF,ANN,T3",
+)
+def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_expr("embedding", "embedding")).alias("nrm"),
+    )
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "pos0", "x")
+    cent0 = flat.groupBy(F.col("label").alias("bucket"), "pos0").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    cent = cent0.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "c"))), lambda s: s.c
+        ).alias("cvec")
+    )
+    centn = cent.withColumn("cnrm", F.sqrt(dot_expr("cvec", "cvec")))
+
+    assign_sim = F.round(
+        dot_expr("embedding", "cvec") / F.nullif(F.col("nrm") * F.col("cnrm"), F.lit(0.0)),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        assign_sim.desc(), F.col("bucket").asc()
+    )
+    assign = (
+        e.crossJoin(F.broadcast(centn))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "bucket")
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    probe_sim = F.round(
+        dot_expr("qv", "cvec") / F.nullif(F.col("qnrm") * F.col("cnrm"), F.lit(0.0)), 6
+    )
+    w_probe = Window.orderBy(probe_sim.desc(), F.col("bucket").asc())
+    probes = (
+        centn.crossJoin(F.broadcast(q))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("bucket")
+    )
+    sim = F.round(
+        dot_expr("embedding", "qv")
+        / F.nullif(F.col("nrm") * F.col("qnrm"), F.lit(0.0)),
+        6,
+    )
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probes), "bucket")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "bucket", sim.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
