@@ -563,3 +563,45 @@ def daily_event_rollup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 + percentile — get_user_info's per-channel rank (api.py:2821-2834:
+# "count of users with count <= this user's count / total users x 100",
+# computed there with one correlated query per user): decorrelated into a
+# single cume_dist window per channel — one shuffle for every user at
+# once instead of N queries.
+# ---------------------------------------------------------------------------
+@register(
+    "user_percentile_rank",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n_events,
+           FLOOR((cume_dist() OVER (PARTITION BY event_type
+                                    ORDER BY n_events) * 100)
+                 * 100 + 0.5) / 100 AS pct_rank
+    FROM per_user
+    ORDER BY event_type, user_id
+    """,
+    survey="A6,T-family,W3-analog",
+)
+def user_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from holochatstats_spark.functions.core import round_half_up
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    # ORDER BY the count alone: cume_dist gives ties identical values =
+    # "users with count <= mine / total", the reference's exact formula;
+    # a unique tie-break would undercount peers
+    w = Window.partitionBy("event_type").orderBy("n_events")
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "n_events",
+        round_half_up(F.cume_dist().over(w) * 100, 2).alias("pct_rank"),
+    ).orderBy("event_type", "user_id")

@@ -80,3 +80,37 @@ def stream_user_counters(
         .alias("total_message_count"),
         F.max("ts").alias("last_message_at"),
     )
+
+
+def stream_running_user_totals(messages: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    Spark-native form of the reference's hand-rolled dict-state chat
+    iterator (chat_downloader.py:41-132 keeps per-user running counters in
+    Python dicts across an unbounded replay stream).
+
+    Per user, GroupState holds the running message total; every
+    micro-batch folds its Arrow batches into the state and emits the
+    updated total (update output mode). State is per-key and partitioned —
+    1000 executors each hold their keys' state, checkpointed with the
+    query; the reference's equivalent was a single process's memory.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += int(len(pdf))
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_total": [total]}
+        )
+
+    return messages.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id string, running_total bigint",
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -77,3 +77,44 @@ def test_streaming_counters_match_batch_rollup(spark, tmp_path):
     assert u1["video_id"] == "vidX" and u1["channel_id"] == "ch1"
     # member event still advanced u2's last_message_at
     assert u2["last_at"].microsecond == 0 and u2["last_at"].second == 8
+
+
+def test_stateful_running_totals_accumulate_across_microbatches(spark, tmp_path):
+    from holochatstats_spark.streaming.ingest_stream import (
+        stream_running_user_totals,
+    )
+
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    # two files + maxFilesPerTrigger=1 -> two micro-batches within ONE
+    # availableNow run; u1 appears in both, so its GroupState must carry
+    # the first batch's total into the second
+    _write_log(landing, "vidA", [_rec("u1", i * 1_000_000) for i in range(3)])
+    _write_log(landing, "vidB", [_rec("u1", 10_000_000 + i) for i in range(2)])
+
+    from holochatstats_spark.sources.chat_logs import MESSAGE_SCHEMA
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .withColumn("ts", F.timestamp_micros(F.col("timestamp")))
+    )
+    q = (
+        stream_running_user_totals(src)
+        .writeStream.format("memory")
+        .queryName("state_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    totals = sorted(
+        r["running_total"]
+        for r in spark.table("state_totals").where(F.col("user_id") == "u1").collect()
+    )
+    # one emission per micro-batch: 3 after vidA, 5 after vidA+vidB —
+    # the 5 can only exist if state crossed the batch boundary
+    assert totals == [3, 5]
