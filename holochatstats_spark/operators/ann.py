@@ -31,7 +31,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_PLANES = 24
@@ -49,13 +49,6 @@ def _plane_entry(p: int, d: int) -> int:
 
 def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[int]]:
     return [[_plane_entry(p, d) for d in range(dim)] for p in range(n_planes)]
-
-
-def quantize_expr(emb_col: str) -> Column:
-    """array<bigint> of floor(x * 1e6 + 0.5) — exact, portable."""
-    return F.expr(
-        f"transform({emb_col}, x -> cast(floor(cast(x as double) * {QUANT} + 0.5) as bigint))"
-    )
 
 
 def band_values_udf(dim: int):

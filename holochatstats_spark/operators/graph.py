@@ -79,15 +79,25 @@ def _union_find(nodes: list[str], edges: list[tuple[str, str, float]]):
 
 def detect_communities(
     edge_df: DataFrame,
+    nodes_df: DataFrame | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str = "weight",
 ) -> DataFrame:
     """Collect the (tiny, channel²-bounded) edge list and partition it on
-    the driver; returns (node, community, algorithm)."""
+    the driver; returns (node, community, algorithm).
+
+    ``nodes_df`` (single column of node ids) supplies the FULL vertex set:
+    a channel whose every similarity fell below the edge threshold has no
+    edge but must still appear as a singleton community — the reference
+    adds all vertices to the graph before partitioning (api.py:478-487).
+    """
     rows = edge_df.select(src_col, dst_col, weight_col).collect()
     edges = [(r[src_col], r[dst_col], float(r[weight_col])) for r in rows]
-    nodes = sorted({n for a, b, _ in edges for n in (a, b)})
+    nodes = {n for a, b, _ in edges for n in (a, b)}
+    if nodes_df is not None:
+        nodes |= {r[0] for r in nodes_df.collect()}
+    nodes = sorted(nodes)
     for algo in (_leiden, _greedy_modularity, _union_find):
         try:
             mapping, name = algo(nodes, edges)

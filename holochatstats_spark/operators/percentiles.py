@@ -47,7 +47,12 @@ def exact_discrete_percentiles(
     ``value_col`` (the actual element at 1-based rank floor((n-1)*p)+1
     under ORDER BY (value_col, tie_col)) — element selection, not
     interpolation, so the result is byte-identical across engines.
+
+    NULL values are excluded up front (ranks are over non-null values —
+    the SQL twin's ORDER BY would sort NULLs to one end and silently
+    shift every rank; callers wanting NULL-aware semantics filter first).
     """
+    df = df.where(F.col(value_col).isNotNull())
     stats = df.agg(
         F.min(value_col).alias("mn"),
         F.max(value_col).alias("mx"),
@@ -95,10 +100,14 @@ def exact_discrete_percentiles(
         cum += cnt
 
     wanted = sorted({b for b, _ in locations.values()})
-    # explicit value-range predicate so the parquet scan is pruned
-    lo = float(mn) + min(wanted) * width
-    hi = float(mx) if max(wanted) >= n_buckets - 1 else float(mn) + (
-        max(wanted) + 1
+    # explicit value-range predicate so the parquet scan is pruned —
+    # widened by ONE bucket on each side: floor((v-mn)/width) can land a
+    # boundary value in bucket b while v sits fractionally below
+    # mn + b*width (FP), so the range filter must never be the exact cut;
+    # the bucket isin() filter below is the exact membership test
+    lo = float(mn) + (min(wanted) - 1) * width
+    hi = float(mx) if max(wanted) >= n_buckets - 2 else float(mn) + (
+        max(wanted) + 2
     ) * width
     w = Window.partitionBy("_bucket").orderBy(value_col, tie_col)
     ranked = (

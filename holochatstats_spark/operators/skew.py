@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_BUCKETS = 16
@@ -53,8 +53,3 @@ def salted_agg(
         ]
     )
     return stage2
-
-
-def salt_column(n_salt: int = SALT_BUCKETS) -> Column:
-    """A deterministic-per-run salt column for join-side salting."""
-    return (F.rand(seed=42) * n_salt).cast("int")

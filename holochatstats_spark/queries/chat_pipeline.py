@@ -22,7 +22,7 @@ from holochatstats_spark.functions.classify import (
     has_humor,
     parse_membership_rank,
 )
-from holochatstats_spark.functions.core import pct_round
+from holochatstats_spark.functions.core import pct_round, time_bucket
 from holochatstats_spark.operators.gold import (
     channel_month_language,
     membership_summary,
@@ -356,6 +356,17 @@ _VIDEO_STATS_SQL = """
 """
 
 
+def _video_stats(msgs: DataFrame) -> DataFrame:
+    """Spark twin of _VIDEO_STATS_SQL — ONE definition for the three
+    consumers (funniest/highlights/hours), so the +30s duration pad can
+    never desync between the Spark side and the shared oracle CTE."""
+    epoch = F.unix_timestamp("ts")
+    return msgs.groupBy("channel_id", "video_id").agg(
+        F.max(epoch).alias("end_epoch"),
+        (F.max(epoch) - F.min(epoch) + 30).alias("duration_sec"),
+    )
+
+
 @register(
     "funniest_timestamps",
     oracle=with_synth_ctes(f"""
@@ -400,7 +411,7 @@ def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "channel_id",
             "video_id",
-            (F.unix_timestamp("ts") / 30).cast("bigint").alias("bucket"),
+            time_bucket(F.col("ts"), 30).alias("bucket"),
         )
         .agg(F.count("*").alias("weight"))
     )
@@ -416,12 +427,7 @@ def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") * 30 - 10).alias("funniest_epoch"),
         )
     )
-    vids = msgs.groupBy("channel_id", "video_id").agg(
-        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
-        (
-            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")) + 30
-        ).alias("duration_sec"),
-    )
+    vids = _video_stats(msgs)
     ud = build_user_data(msgs)
     last_chat = ud.groupBy("channel_id", "video_id").agg(
         F.max(F.unix_timestamp("last_message_at")).alias("last_epoch")
@@ -485,7 +491,7 @@ def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     vel = msgs.groupBy(
         "channel_id",
         "video_id",
-        (F.unix_timestamp("ts") / 15).cast("bigint").alias("bucket"),
+        time_bucket(F.col("ts"), 15).alias("bucket"),
     ).agg(F.count("*").alias("n_events"))
     w_r = Window.partitionBy("channel_id", "video_id").orderBy(
         F.desc("n_events"), F.asc("bucket")
@@ -500,12 +506,7 @@ def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
-    vids = msgs.groupBy("channel_id", "video_id").agg(
-        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
-        (
-            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")) + 30
-        ).alias("duration_sec"),
-    )
+    vids = _video_stats(msgs)
     return (
         highlights.join(vids, ["channel_id", "video_id"])
         .join(F.broadcast(synthetic_channels(ev)), "channel_id")
@@ -561,12 +562,7 @@ def streaming_hours_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     msgs = synthetic_messages(ev)
-    vids = msgs.groupBy("channel_id", "video_id").agg(
-        F.max(F.unix_timestamp("ts")).alias("end_epoch"),
-        (
-            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")) + 30
-        ).alias("duration_sec"),
-    )
+    vids = _video_stats(msgs)
     ignored = (
         msgs.select("video_id").distinct().where(F.col("video_id").endswith("-15"))
     )

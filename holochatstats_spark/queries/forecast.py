@@ -102,8 +102,9 @@ def linear_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM monthly
     ), scaled AS (
       SELECT series, i, n, mn, mx,
-             0.1 + 0.8 * (x - mn) / (mx - mn) AS s,
-             exp(-1.0 + i / (n - 1.0)) AS w
+             CASE WHEN mx = mn THEN 0.5
+                  ELSE 0.1 + 0.8 * (x - mn) / (mx - mn) END AS s,
+             CASE WHEN n > 1 THEN exp(-1.0 + i / (n - 1.0)) ELSE 1.0 END AS w
       FROM idx
     ), fit AS (
       SELECT series,
@@ -156,14 +157,24 @@ def ewm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").over(w_s).alias("mn"),
         F.max("x").over(w_s).alias("mx"),
     )
+    # guards (mirrored in the oracle): a constant series (mx == mn) scales
+    # to flat 0.5 instead of 0/0 — the reference jitters with random noise
+    # there (nondeterministic, forecaster.py:183-185); a 1-month series
+    # gets weight 1.0 instead of exp(0/0)=NaN poisoning the unused branch
     scaled = idx.select(
         "series",
         "i",
         "n",
         "mn",
         "mx",
-        (0.1 + 0.8 * (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("s"),
-        F.exp(-1.0 + F.col("i") / (F.col("n") - 1.0)).alias("w"),
+        F.when(F.col("mx") == F.col("mn"), 0.5)
+        .otherwise(
+            0.1 + 0.8 * (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        )
+        .alias("s"),
+        F.when(F.col("n") > 1, F.exp(-1.0 + F.col("i") / (F.col("n") - 1.0)))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
     )
     fit = scaled.groupBy("series").agg(
         F.max("n").cast("bigint").alias("n_months"),

@@ -52,10 +52,15 @@ def common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
         )
     )
+    # coalesce: a scalar SUM over zero rows is NULL in Spark, but the
+    # oracle's COUNT(*) subqueries (and the reference) yield 0 on empty
+    # input — match that
     counts = per_user.agg(
-        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_common"),
-        F.sum("in_a").cast("bigint").alias("n_a"),
-        F.sum("in_b").cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("bigint")
+        .alias("n_common"),
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("bigint").alias("n_b"),
     )
     return counts.select(
         "n_common",

@@ -304,25 +304,29 @@ _SIMS_SQL = """
     survey="V3,V1",
 )
 def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     sims = _type_sims(spark, sf_dir)
-    w_all = Window.partitionBy()  # bounded: K×K rows, K = #channel keys
-    ranked = sims.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy("cosine_sim", "type_a", "type_b")
-        ),
-    ).withColumn("n", F.count("*").over(w_all))
-    thr = ranked.where(
-        F.col("rn") == (F.floor((F.col("n") - 1) * 0.5) + 1).cast("bigint")
-    ).select(F.col("cosine_sim").alias("t"))
     return (
-        sims.crossJoin(F.broadcast(thr))
-        .where(F.col("cosine_sim") >= F.col("t"))
+        _threshold_edges(sims)
         .select("type_a", "type_b", "cosine_sim")
         .orderBy("type_a", "type_b")
     )
+
+
+def _threshold_edges(sims: DataFrame) -> DataFrame:
+    """V3 median-threshold edge selection shared by similarity_edges and
+    channel_clustering — ONE definition of the discrete-percentile contract
+    (rank floor((n-1)*0.5)+1 over (cosine, type_a, type_b)). The ranking
+    window is unpartitioned but bounded (K×K similarity rows)."""
+    from pyspark.sql import Window
+
+    ranked = sims.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("cosine_sim", "type_a", "type_b")),
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    thr = ranked.where(
+        F.col("rn") == (F.floor((F.col("n") - 1) * 0.5) + 1).cast("bigint")
+    ).select(F.col("cosine_sim").alias("t"))
+    return sims.crossJoin(F.broadcast(thr)).where(F.col("cosine_sim") >= F.col("t"))
 
 
 def _type_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,25 +375,18 @@ def _type_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="V4,V3,V1,A13",
 )
 def channel_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from holochatstats_spark.operators.graph import detect_communities
 
     sims = _type_sims(spark, sf_dir)
-    ranked = sims.withColumn(
-        "rn",
-        F.row_number().over(Window.orderBy("cosine_sim", "type_a", "type_b")),
-    ).withColumn("n", F.count("*").over(Window.partitionBy()))
-    thr = ranked.where(
-        F.col("rn") == (F.floor((F.col("n") - 1) * 0.5) + 1).cast("bigint")
-    ).select(F.col("cosine_sim").alias("t"))
     edges = (
-        sims.crossJoin(F.broadcast(thr))
-        .where(F.col("cosine_sim") >= F.col("t"))
+        _threshold_edges(sims)
         .select(
             F.col("type_a").alias("src"),
             F.col("type_b").alias("dst"),
             F.col("cosine_sim").alias("weight"),
         )
     )
-    return detect_communities(edges).orderBy("node")
+    # full vertex set: below-threshold channels still get a singleton
+    # community (reference adds every vertex before partitioning)
+    nodes = load_table(spark, sf_dir, "events").select("event_type").distinct()
+    return detect_communities(edges, nodes_df=nodes).orderBy("node")

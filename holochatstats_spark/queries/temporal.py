@@ -231,14 +231,21 @@ def user_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n2") >= 2).alias("in2"),
         )
     )
+    # coalesce: scalar SUM over zero rows is NULL, the oracle yields 0
     return per_user.agg(
-        F.sum(F.when(F.col("in2") & ~F.col("in1"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("in2") & ~F.col("in1"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("users_gained"),
-        F.sum(F.when(F.col("in1") & ~F.col("in2"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("in1") & ~F.col("in2"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("users_lost"),
-        F.sum(F.when(F.col("in1") & F.col("in2"), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("in1") & F.col("in2"), 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("users_retained"),
     )
