@@ -1,9 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 - ``entry(spark)``: flagship query on /root/testdata/sf0.001 (smoke).
-- ``queries()``: every implemented query from SURVEY.md §2, keyed by name.
+- ``queries()``: every implemented query from SURVEY.md §2 plus the
+  training-data-pipeline surface (65 entries — see COVERAGE.md for the
+  §2-id → query map), keyed by name.
 - ``oracle_sql()``: matching ANSI SQL for the DuckDB oracle (same column
-  names/types; floats rounded identically on both sides).
+  names/types; floats rounded identically on both sides). Rows-only
+  queries (ml_forecast, channel_clustering, daily_event_rollup_approx)
+  are intentionally absent here — nondeterministic or sketch-based.
 """
 
 from __future__ import annotations

@@ -173,6 +173,7 @@ def user_month_language_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY ch.channel_name, c.observed_month, c.membership_rank
     """),
     survey="W1,A8,W3,P4,gold",
+    tags=("bench",),
 )
 def membership_summary_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

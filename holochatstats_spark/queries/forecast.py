@@ -137,6 +137,7 @@ def linear_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY series, h
     """,
     survey="V10,V11-adjacent",
+    tags=("bench",),
 )
 def ewm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -41,6 +41,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     survey="multimodal,F13-analog",
+    tags=("bench",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _features(spark, sf_dir).orderBy("doc_id")

@@ -123,6 +123,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
     survey="dedup-simhash,ANN",
+    tags=("bench",),
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = simhash_df(spark, sf_dir)

@@ -196,6 +196,7 @@ def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d.lang_a, d.lang_b
     """,
     survey="V2,A14,V1",
+    tags=("bench",),
 )
 def tfidf_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocab selection is orderBy().limit() — TakeOrdered over the term
