@@ -373,3 +373,118 @@ def weekly_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# W5-extension — rolling frame spec (the reference uses only default
+# window frames, SURVEY §2.5 W5; a real analytics engine needs ROWS
+# BETWEEN): 7-row trailing sum/avg of daily revenue per priority.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day,
+           FLOOR(SUM(revenue) OVER w * 100 + 0.5) / 100 AS rolling_7d_sum,
+           FLOOR(AVG(revenue) OVER w * 100 + 0.5) / 100 AS rolling_7d_avg,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_frame
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderpriority, day
+    """,
+    survey="W5-ext,A4",
+)
+def rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from holochatstats_spark.functions.core import round_half_up
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        round_half_up(F.sum("revenue").over(w), 2).alias("rolling_7d_sum"),
+        round_half_up(F.avg("revenue").over(w), 2).alias("rolling_7d_avg"),
+        F.count("*").over(w).cast("bigint").alias("n_days_in_frame"),
+    ).orderBy("o_orderpriority", "day")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — the classic training-pipeline temporal op (not in the
+# reference; first-class here): events split into sessions at >30-minute
+# inactivity gaps via LAG + cumulative boundary count, then per-session
+# stats. One window pair over (user, ts) — no state, no loops.
+# ---------------------------------------------------------------------------
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - lag(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_us(ts) // 1000000)
+                - MIN(epoch_us(ts) // 1000000) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY 1, 2
+    ORDER BY user_id, session_id
+    """,
+    survey="sessionization,W2-analog",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            epoch - F.lag(epoch).over(w_seq) > SESSION_GAP_SEC, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
