@@ -677,3 +677,235 @@ def exclusive_group_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel_name", "observed_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# W2 — membership gain/loss transitions with the reference's EXACT
+# semantics (api.py:1866-1917): LAG(membership_rank) per (user, channel)
+# ordered by last_message_at, computed AFTER restricting to the target
+# month (the CTE pre-filter — a row's previous rank is the previous
+# observation WITHIN the month, not the prior month's last row). Gains:
+# prev = -1 → current ≠ -1 (unknown -2 gift ranks count as membership,
+# api.py:1849-1850); losses: prev ≠ -1 (incl. -2) → current = -1. Counts
+# are DISTINCT users per (channel, month); channels with neither gains nor
+# losses are excluded (the reference's WHERE g/e.observed_month filter).
+# The all-months generalization of the single-month endpoint: partitioning
+# the LAG by month ≡ running the reference query once per month.
+# ---------------------------------------------------------------------------
+@register(
+    "membership_changes",
+    oracle=with_synth_ctes("""
+    , mc AS (
+      SELECT user_id, channel_id,
+             CAST(date_trunc('month', last_message_at) AS DATE) AS observed_month,
+             membership_rank,
+             LAG(membership_rank) OVER (
+               PARTITION BY user_id, channel_id, date_trunc('month', last_message_at)
+               ORDER BY last_message_at, video_id
+             ) AS prev_rank
+      FROM ud
+    ), g AS (
+      SELECT channel_id, observed_month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS gains_count
+      FROM mc WHERE prev_rank = -1 AND membership_rank <> -1
+      GROUP BY 1, 2
+    ), l AS (
+      SELECT channel_id, observed_month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS losses_count
+      FROM mc WHERE prev_rank IS NOT NULL AND prev_rank <> -1
+                AND membership_rank = -1
+      GROUP BY 1, 2
+    )
+    SELECT ch.channel_name, COALESCE(g.observed_month, l.observed_month) AS observed_month,
+           COALESCE(g.gains_count, 0) AS gains_count,
+           COALESCE(l.losses_count, 0) AS losses_count,
+           COALESCE(g.gains_count, 0) - COALESCE(l.losses_count, 0) AS differential
+    FROM g FULL JOIN l USING (channel_id, observed_month)
+    JOIN channels ch USING (channel_id)
+    ORDER BY differential DESC, ch.channel_name, observed_month
+    """),
+    survey="W2,A7,J3",
+)
+def membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference api.py:1879-1880 within-month LAG; video_id is the
+    deterministic tie-break (last_message_at alone underdetermines order
+    when two videos share a max-ts; the reference inherits psql's
+    nondeterminism there)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = build_user_data(synthetic_messages(ev))
+    month = F.date_trunc("month", F.col("last_message_at"))
+    w_lag = Window.partitionBy("user_id", "channel_id", month).orderBy(
+        "last_message_at", "video_id"
+    )
+    mc = ud.select(
+        "user_id",
+        "channel_id",
+        month.cast("date").alias("observed_month"),
+        "membership_rank",
+        F.lag("membership_rank").over(w_lag).alias("prev_rank"),
+    )
+    g = (
+        mc.where((F.col("prev_rank") == -1) & (F.col("membership_rank") != -1))
+        .groupBy("channel_id", "observed_month")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("gains_count"))
+    )
+    l = (
+        mc.where(
+            F.col("prev_rank").isNotNull()
+            & (F.col("prev_rank") != -1)
+            & (F.col("membership_rank") == -1)
+        )
+        .groupBy("channel_id", "observed_month")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("losses_count"))
+    )
+    return (
+        g.join(l, ["channel_id", "observed_month"], "full")
+        .join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        .select(
+            "channel_name",
+            "observed_month",
+            F.coalesce("gains_count", F.lit(0)).alias("gains_count"),
+            F.coalesce("losses_count", F.lit(0)).alias("losses_count"),
+            (F.coalesce("gains_count", F.lit(0)) - F.coalesce("losses_count", F.lit(0))).alias(
+                "differential"
+            ),
+        )
+        .orderBy(F.desc("differential"), "channel_name", "observed_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — velocity bursts with the reference's EXACT parameters
+# (ai_summarizer.py:93-146,163): videos under 10 min are skipped;
+# num_highlights = min(5, floor(duration_min/30)) with a floor of 1 for
+# 10-30 min videos; messages outside the 5% safe-zone buffers are ignored
+# (BUFFER_PERCENTAGE = 0.05, ai_summarizer.py:129-132); 15 s integer
+# buckets; top-N by count with pandas-nlargest tie order (count DESC,
+# bucket ASC — nlargest keeps first occurrence of equal values, and the
+# activity index is sorted by bucket); only buckets with count > 9
+# survive (ai_summarizer.py:143); the published timestamp gets a 10 s
+# lead-up (ai_summarizer.py:163). highlight_windows keeps the simpler
+# fixed-top-3 shape for the J9 join; this query pins the parameters.
+# The synthetic chat is UNIFORM in time (max 15 s-bucket count is 3 at
+# sf0.01 and 4 at sf0.1), so the >9 threshold legitimately yields 0 rows
+# at every test SF — both engines agree on empty, and every parameter
+# branch (duration gate, safe zone, num_highlights cap/floor, threshold,
+# tie order, lead-up) is pinned on a dense hand-built frame in
+# tests/test_velocity_exact.py.
+# ---------------------------------------------------------------------------
+_VBE_VIDS_SQL = """
+      SELECT channel_id, video_id,
+             MAX(epoch_us(ts) // 1000000) AS end_epoch,
+             MAX(epoch_us(ts) // 1000000) - MIN(epoch_us(ts) // 1000000) + 30
+               AS duration_sec
+      FROM msgs GROUP BY 1, 2
+"""
+
+
+@register(
+    "velocity_bursts_exact",
+    oracle=with_synth_ctes(f"""
+    , vids AS ({_VBE_VIDS_SQL}
+    ), eligible AS (
+      SELECT *, end_epoch - duration_sec AS start_epoch,
+             LEAST(5, GREATEST(1, duration_sec // 1800)) AS num_highlights
+      FROM vids WHERE duration_sec >= 600
+    ), safe AS (
+      SELECT m.channel_id, m.video_id,
+             ((epoch_us(m.ts) // 1000000) - v.start_epoch) // 15 AS bucket
+      FROM msgs m
+      JOIN eligible v ON v.channel_id = m.channel_id AND v.video_id = m.video_id
+      WHERE (epoch_us(m.ts) // 1000000) - v.start_epoch
+              >= 0.05 * CAST(v.duration_sec AS DOUBLE)
+        AND (epoch_us(m.ts) // 1000000) - v.start_epoch
+              <= 0.95 * CAST(v.duration_sec AS DOUBLE)
+    ), activity AS (
+      SELECT channel_id, video_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_msgs
+      FROM safe GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT a.*, v.start_epoch, v.num_highlights,
+             ROW_NUMBER() OVER (PARTITION BY a.channel_id, a.video_id
+                                ORDER BY a.n_msgs DESC, a.bucket ASC) AS rn
+      FROM activity a
+      JOIN eligible v ON v.channel_id = a.channel_id AND v.video_id = a.video_id
+    )
+    SELECT ch.channel_name, r.video_id,
+           CAST(r.start_epoch + r.bucket * 15 - 10 AS BIGINT) AS highlight_epoch,
+           CAST(r.bucket * 15 AS BIGINT) AS spike_seconds,
+           r.n_msgs
+    FROM ranked r
+    JOIN channels ch ON ch.channel_id = r.channel_id
+    WHERE r.rn <= r.num_highlights AND r.n_msgs > 9
+    ORDER BY ch.channel_name, r.video_id, highlight_epoch
+    """),
+    survey="A12,T5,J9",
+    tags=("bench",),
+)
+def velocity_bursts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return velocity_bursts_from(synthetic_messages(ev), synthetic_channels(ev))
+
+
+def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
+    """Core of velocity_bursts_exact over any (channel_id, video_id, ts)
+    messages frame — split out so tests can drive it with dense bursts."""
+    from pyspark.sql import Window
+
+    epoch = F.unix_timestamp("ts")
+    vids = msgs.groupBy("channel_id", "video_id").agg(
+        F.max(epoch).alias("end_epoch"),
+        (F.max(epoch) - F.min(epoch) + 30).alias("duration_sec"),
+    )
+    eligible = vids.where(F.col("duration_sec") >= 600).select(
+        "channel_id",
+        "video_id",
+        (F.col("end_epoch") - F.col("duration_sec")).alias("start_epoch"),
+        "duration_sec",
+        F.least(
+            F.lit(5), F.greatest(F.lit(1), F.expr("duration_sec div 1800"))
+        ).alias("num_highlights"),
+    )
+    elapsed = epoch - F.col("start_epoch")
+    safe = (
+        msgs.join(eligible, ["channel_id", "video_id"])
+        .where(
+            (elapsed >= 0.05 * F.col("duration_sec").cast("double"))
+            & (elapsed <= 0.95 * F.col("duration_sec").cast("double"))
+        )
+        .select(
+            "channel_id",
+            "video_id",
+            elapsed.alias("elapsed"),
+        )
+    )
+    activity = safe.groupBy(
+        "channel_id", "video_id", F.expr("elapsed div 15").alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_msgs"))
+    w_r = Window.partitionBy("channel_id", "video_id").orderBy(
+        F.desc("n_msgs"), F.asc("bucket")
+    )
+    ranked = (
+        activity.join(
+            eligible.select(
+                "channel_id", "video_id", "start_epoch", "num_highlights"
+            ),
+            ["channel_id", "video_id"],
+        )
+        .withColumn("rn", F.row_number().over(w_r))
+        .where((F.col("rn") <= F.col("num_highlights")) & (F.col("n_msgs") > 9))
+    )
+    return (
+        ranked.join(F.broadcast(channels), "channel_id")
+        .select(
+            "channel_name",
+            "video_id",
+            (F.col("start_epoch") + F.col("bucket") * 15 - 10)
+            .cast("bigint")
+            .alias("highlight_epoch"),
+            (F.col("bucket") * 15).cast("bigint").alias("spike_seconds"),
+            "n_msgs",
+        )
+        .orderBy("channel_name", "video_id", "highlight_epoch")
+    )
