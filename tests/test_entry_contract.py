@@ -31,3 +31,25 @@ def test_registry_metadata():
 
     for name, q in load_all_queries().items():
         assert q.survey, f"{name} missing SURVEY §2 operator reference"
+
+
+def test_gate_order_is_least_recently_recorded():
+    """The driver records the first ~50 queries() entries per round, so the
+    registry must be ordered least-recently-driver-recorded first: every
+    query's last-recorded round (from CORRECTNESS_r*.json) must be
+    non-decreasing across the returned ordering, after the pinned
+    semantics-changed prefix."""
+    from holochatstats_spark.queries import (
+        _SEMANTICS_CHANGED,
+        _last_recorded_round,
+        load_all_queries,
+    )
+
+    names = list(load_all_queries())
+    last = _last_recorded_round()
+    if not last:  # fresh checkout without artifacts: registration order is fine
+        return
+    pinned = [n for n in _SEMANTICS_CHANGED if n in names]
+    assert names[: len(pinned)] == pinned
+    rounds = [last.get(n, 0) for n in names[len(pinned) :]]
+    assert rounds == sorted(rounds), "registry not sorted by staleness"
