@@ -60,7 +60,7 @@ def band_values_udf(dim: int):
     against the plane matrix -> sign bits -> packed band values.
 
     This is a deliberate pandas_udf, not Catalyst expressions: a
-    24-plane x 64-dim dot product per row is a dense integer matmul, which
+    64-plane x 64-dim dot product per row is a dense integer matmul, which
     numpy executes vectorized per Arrow batch, while the equivalent
     higher-order-function expression tree falls outside whole-stage
     codegen and evaluates interpreted per element (measured ~7 ms/row at

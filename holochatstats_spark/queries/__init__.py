@@ -73,43 +73,60 @@ def register(
 # CORRECTNESS_r*.json at the repo root and sort the registry by the round
 # each query last appeared in (never recorded => round 0 => front of the
 # queue), tie-broken by registration order. Queries whose SEMANTICS changed
-# after their last driver row can be pinned to the very front via
-# _SEMANTICS_CHANGED until a fresh driver row lands.
-_SEMANTICS_CHANGED: tuple[str, ...] = (
-    # r3 widened SimHash bands to 15-bit and LSH to 64-plane/16-bit after
-    # these queries' last driver row (r2) — verify the new semantics first.
-    "simhash_neardup_pairs",
-    "embedding_neardup_lsh",
-)
+# can be pinned to the very front via _SEMANTICS_CHANGED: {name: round the
+# semantics changed in}. A pin SELF-EXPIRES once a driver row from that
+# round or later lands, so it never burns gate slots re-verifying
+# already-fresh queries (VERDICT r8: the r3 pins wasted 2 of 50 slots per
+# round for three rounds after their fresh rows landed in r5).
+_SEMANTICS_CHANGED: dict[str, int] = {
+    # r9 planted deterministic burst clusters in operators/synth.py
+    # (velocity_bursts_exact non-empty oracle). The burst rows are
+    # new_member/rank=-2/empty-message at an existing event's exact ts, so
+    # the ud aggregate, video time stats, and humor buckets are invariant —
+    # only the three queries that COUNT raw synth-message rows change and
+    # need a fresh driver row.
+    "velocity_bursts_exact": 9,
+    "message_classification": 9,
+    "highlight_windows": 9,
+}
 
 
 def _last_recorded_round() -> dict[str, int]:
-    """Map query name -> newest round whose CORRECTNESS_r*.json has a row
-    for it. Missing artifacts (fresh checkout) => empty dict."""
+    """Map query name -> newest round whose CORRECTNESS_r*.json has a
+    SUCCESSFUL row for it. Only the repo root (derived from __file__) is
+    scanned — never cwd, so registry order is caller-independent. A row
+    counts as recorded only if it did not fail: err must be absent or the
+    designed ``no_oracle`` rows-only marker, and hash_match must not be
+    False — an errored/mismatched query should bubble back to the front of
+    the gate queue, not look freshly verified."""
     import json
     import re
     from pathlib import Path
 
     last: dict[str, int] = {}
-    roots = {Path(__file__).resolve().parents[2], Path.cwd()}
-    for root in roots:
-        try:
-            artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
-        except OSError:
+    root = Path(__file__).resolve().parents[2]
+    try:
+        artifacts = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        artifacts = []
+    for path in artifacts:
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
             continue
-        for path in artifacts:
-            m = re.search(r"r(\d+)", path.name)
-            if not m:
-                continue
-            rnd = int(m.group(1))
-            try:
-                rows = json.loads(path.read_text())
-            except (OSError, ValueError):
-                continue
-            if not isinstance(rows, dict):
-                continue
-            for name in rows:
-                last[name] = max(last.get(name, 0), rnd)
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict):
+                if row.get("err") not in (None, "no_oracle"):
+                    continue
+                if row.get("hash_match") is False:
+                    continue
+            last[name] = max(last.get(name, 0), rnd)
     return last
 
 
@@ -117,7 +134,13 @@ def gate_order(registry: dict[str, Query]) -> list[str]:
     """Registry names sorted least-recently-driver-recorded first."""
     last = _last_recorded_round()
     reg_pos = {n: i for i, n in enumerate(registry)}
-    pinned = [n for n in _SEMANTICS_CHANGED if n in registry]
+    # a pin holds only until a driver row from the change round (or later)
+    # lands — then it expires and the query rejoins the staleness order
+    pinned = [
+        n
+        for n, changed_rnd in _SEMANTICS_CHANGED.items()
+        if n in registry and last.get(n, 0) < changed_rnd
+    ]
 
     def key(name: str) -> tuple[int, int]:
         return (last.get(name, 0), reg_pos[name])
