@@ -60,6 +60,27 @@ BADGES: tuple[tuple[str, int], ...] = (
 N_MSG = len(MESSAGES)
 N_BADGE = len(BADGES)
 
+# Deterministic burst clusters (VERDICT r5-r8: the uniform synthetic chat
+# never exceeds 4 msgs per 15 s bucket, so velocity_bursts_exact's >9
+# threshold was only ever oracle-checked on an empty set). Every event with
+# event_id % BURST_MOD == BURST_REM spawns BURST_SIZE extra messages at the
+# SAME timestamp — one guaranteed >9-msgs/15 s bucket per selected event,
+# landing in the 5%/95% safe zone whenever the parent event does (~90% of
+# uniform positions). The burst rows are constructed to be INVISIBLE to the
+# ud silver aggregate and the humor/time-stats queries:
+# - message_type='new_member', message_category NULL  => is_counted false;
+# - membership_rank=-2 on a member event               => has_known_rank false;
+# - ts equal to the parent event's ts                  => MIN/MAX(ts) and the
+#   per-video duration/end_epoch stats unchanged;
+# - seq NEGATIVE (base-BURST_SIZE unique)              => the parent row still
+#   wins every (ts, seq) ORDER BY tie, so last-username/rank picks unchanged;
+# - message ''                                         => no humor hit.
+# Only queries that COUNT raw message rows (velocity buckets, velocity
+# highlights, per-message classification) see them — by design.
+BURST_MOD = 500
+BURST_REM = 3
+BURST_SIZE = 12
+
 
 def _sql_lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
@@ -93,6 +114,20 @@ SYNTH_MESSAGES_SQL = f"""
                 ELSE {_CAT_LIST}[(event_id % {N_MSG})::INT + 1] END AS message_category,
            {_MSG_LIST}[(event_id % {N_MSG})::INT + 1] AS message
     FROM events
+    UNION ALL
+    SELECT event_type,
+           event_type || '_' || strftime(ts, '%Y-%m-%d'),
+           'u' || user_id,
+           'user ' || user_id,
+           make_timestamp(epoch_ns(ts) // 1000),
+           -(event_id * {BURST_SIZE} + r.range + 1),
+           'new_member',
+           CAST(NULL AS VARCHAR),
+           CAST(-2 AS INT),
+           CAST(NULL AS VARCHAR),
+           ''
+    FROM events CROSS JOIN range({BURST_SIZE}) r
+    WHERE event_id % {BURST_MOD} = {BURST_REM}
 """
 
 #: Synthetic channels dimension (channel per event_type).
@@ -144,6 +179,37 @@ def synthetic_messages(events: DataFrame) -> DataFrame:
         .otherwise(_pick(cat_arr, N_MSG))
         .alias("message_category"),
         _pick(msg_arr, N_MSG).alias("message"),
+    ).unionAll(_burst_messages(events))
+
+
+def _burst_messages(events: DataFrame) -> DataFrame:
+    """Spark twin of the burst UNION ALL branch of SYNTH_MESSAGES_SQL."""
+    eid = F.col("event_id")
+    i = F.col("i")
+    return (
+        events.where(eid % BURST_MOD == BURST_REM)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.explode(F.sequence(F.lit(0), F.lit(BURST_SIZE - 1))).alias("i"),
+        )
+        .select(
+            F.col("event_type").alias("channel_id"),
+            F.concat(
+                F.col("event_type"), F.lit("_"), F.date_format("ts", "yyyy-MM-dd")
+            ).alias("video_id"),
+            F.concat(F.lit("u"), F.col("user_id")).alias("user_id"),
+            F.concat(F.lit("user "), F.col("user_id")).alias("username"),
+            F.col("ts"),
+            (-(eid * BURST_SIZE + i.cast("long") + 1)).alias("seq"),
+            F.lit("new_member").alias("message_type"),
+            F.lit(None).cast("string").alias("badge_text"),
+            F.lit(-2).cast("int").alias("membership_rank"),
+            F.lit(None).cast("string").alias("message_category"),
+            F.lit("").alias("message"),
+        )
     )
 
 

@@ -788,11 +788,13 @@ def membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survive (ai_summarizer.py:143); the published timestamp gets a 10 s
 # lead-up (ai_summarizer.py:163). highlight_windows keeps the simpler
 # fixed-top-3 shape for the J9 join; this query pins the parameters.
-# The synthetic chat is UNIFORM in time (max 15 s-bucket count is 3 at
-# sf0.01 and 4 at sf0.1), so the >9 threshold legitimately yields 0 rows
-# at every test SF — both engines agree on empty, and every parameter
+# The base synthetic chat is UNIFORM in time (max 15 s-bucket count is 3
+# at sf0.01 and 4 at sf0.1), which left the >9 threshold oracle-checked
+# only on an empty set through r8; operators/synth.py now plants
+# deterministic BURST_SIZE-message clusters (one per BURST_MOD events) so
+# the driver hash-compares a NON-empty highlight set, and every parameter
 # branch (duration gate, safe zone, num_highlights cap/floor, threshold,
-# tie order, lead-up) is pinned on a dense hand-built frame in
+# tie order, lead-up) stays pinned on a dense hand-built frame in
 # tests/test_velocity_exact.py.
 # ---------------------------------------------------------------------------
 _VBE_VIDS_SQL = """
