@@ -1,10 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "verdicts": {name: pass|fail|no_target}}.
 
-Each query is timed end-to-end (plan build + execute + collect), after a
-small warmup query so JVM/codegen startup isn't billed to the first entry.
+Self-judging (VERDICT r5-r8: six rounds of ±30% single-shot noise made a
+real 20-30% plan regression indistinguishable from session jitter):
+- each query is timed min-of-N (default 3, $SPARK_GRAFT_BENCH_RUNS) after
+  a warmup query, so one GC pause or cold page cache can't fake a
+  regression;
+- every timing is compared against BASELINE.json's per_query_target_sec
+  (best observed across recorded rounds) x target_margin; a miss is a
+  "fail" verdict and a nonzero "n_regressions" — a loud signal instead of
+  a number someone has to eyeball against eight old artifacts.
+Targets only apply at the baseline's scale factor; other SFs get
+"no_target" verdicts.
 """
 
 from __future__ import annotations
@@ -20,11 +29,29 @@ from holochatstats_spark.queries import load_all_queries
 from holochatstats_spark.session import get_spark
 
 
+def _load_targets(sf: float | str) -> tuple[dict[str, float], float]:
+    """(per-query target seconds, margin) from BASELINE.json — empty when
+    absent or when benching a different scale factor than the baseline."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    try:
+        with open(path) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        return {}, 1.0
+    if base.get("bench_sf") != sf:
+        return {}, 1.0
+    block = base.get("per_query_target_sec") or {}
+    return dict(block.get("queries") or {}), float(block.get("target_margin", 1.5))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_str) if sf_str.replace(".", "").isdigit() else sf_str
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     registry = load_all_queries()
     names = sorted(n for n, q in registry.items() if "bench" in q.tags)
+    targets, margin = _load_targets(sf)
 
     spark = get_spark("holochatstats-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,9 +61,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        registry[name].build(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            registry[name].build(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    verdicts = {
+        name: (
+            "no_target"
+            if name not in targets
+            else ("pass" if t <= targets[name] * margin else "fail")
+        )
+        for name, t in timings.items()
+    }
+    regressions = sorted(n for n, v in verdicts.items() if v == "fail")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -46,7 +86,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
+                "timing": f"min_of_{n_runs}",
+                "verdicts": verdicts,
+                "n_regressions": len(regressions),
+                "regressions": regressions,
             }
         )
     )
