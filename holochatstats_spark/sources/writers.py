@@ -52,9 +52,37 @@ def write_month_partitioned(
             spark.conf.unset(conf_key)
 
 
-def export_csv(df: DataFrame, path: str) -> None:
-    """S7: per-query CSV export (reference README.md:51)."""
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+#: Refuse single-file exports above this many rows — a coalesce(1) funnel
+#: routes the whole frame through one task, which is fine for a query
+#: summary and an OOM at data scale.
+SINGLE_FILE_MAX_ROWS = 1_000_000
+
+
+def export_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    single_file_max_rows: int = SINGLE_FILE_MAX_ROWS,
+) -> None:
+    """S7: per-query CSV export (reference README.md:51).
+
+    Default is a fully distributed write (one file per partition) — the
+    only shape that survives a real export. ``single_file=True`` opts into
+    the reference's one-file UX, guarded: frames larger than
+    ``single_file_max_rows`` are refused instead of silently funneled
+    through a single task. The guard probes via ``limit(max+1).count()``
+    so it can short-circuit without scanning the full frame.
+    """
+    if single_file:
+        n = df.limit(single_file_max_rows + 1).count()
+        if n > single_file_max_rows:
+            raise ValueError(
+                f"export_csv(single_file=True) refused: frame exceeds "
+                f"{single_file_max_rows} rows; use the default partitioned "
+                f"export or raise single_file_max_rows explicitly"
+            )
+        df = df.coalesce(1)
+    df.write.mode("overwrite").option("header", "true").csv(path)
 
 
 def write_bucketed_table(

@@ -113,14 +113,41 @@ def test_read_video_metadata_dict_file(spark, tmp_path):
     assert hours == 2.5
 
 
-def test_export_csv_roundtrip(spark, tmp_path):
+def test_export_csv_roundtrip_partitioned_default(spark, tmp_path):
     path = str(tmp_path / "export")
     df = spark.createDataFrame(
         [("a", 1, 2.5), ("b", 2, 3.5)], "k string, n bigint, v double"
-    )
+    ).repartition(4)
     from holochatstats_spark.sources.writers import export_csv
 
     export_csv(df, path)
     back = spark.read.option("header", "true").csv(path)
     got = {(r["k"], int(r["n"]), float(r["v"])) for r in back.collect()}
     assert got == {("a", 1, 2.5), ("b", 2, 3.5)}
+    # distributed by default: more than one part file for a 4-partition frame
+    parts = [p for p in (tmp_path / "export").iterdir() if p.name.startswith("part-")]
+    assert len(parts) > 1
+
+
+def test_export_csv_single_file_optin(spark, tmp_path):
+    path = str(tmp_path / "export1")
+    df = spark.createDataFrame(
+        [("a", 1, 2.5), ("b", 2, 3.5)], "k string, n bigint, v double"
+    ).repartition(4)
+    from holochatstats_spark.sources.writers import export_csv
+
+    export_csv(df, path, single_file=True)
+    parts = [p for p in (tmp_path / "export1").iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == 2
+
+
+def test_export_csv_single_file_guard_refuses_big_frames(spark, tmp_path):
+    import pytest
+
+    from holochatstats_spark.sources.writers import export_csv
+
+    df = spark.range(0, 100).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="refused"):
+        export_csv(df, str(tmp_path / "big"), single_file=True, single_file_max_rows=10)
