@@ -49,7 +49,14 @@ def test_gate_order_is_least_recently_recorded():
     last = _last_recorded_round()
     if not last:  # fresh checkout without artifacts: registration order is fine
         return
-    pinned = [n for n in _SEMANTICS_CHANGED if n in names]
+    # a pin holds only until a driver row from the change round (or later)
+    # lands — mirror gate_order's expiry predicate, else this test goes
+    # stale the moment a CORRECTNESS artifact satisfies a pin (VERDICT r9)
+    pinned = [
+        n
+        for n, changed_rnd in _SEMANTICS_CHANGED.items()
+        if n in names and last.get(n, 0) < changed_rnd
+    ]
     assert names[: len(pinned)] == pinned
     rounds = [last.get(n, 0) for n in names[len(pinned) :]]
     assert rounds == sorted(rounds), "registry not sorted by staleness"
