@@ -2,7 +2,7 @@
 
 - ``entry(spark)``: flagship query on /root/testdata/sf0.001 (smoke).
 - ``queries()``: every implemented query from SURVEY.md §2 plus the
-  training-data-pipeline surface (65 entries — see COVERAGE.md for the
+  training-data-pipeline surface (69 entries — see COVERAGE.md for the
   §2-id → query map), keyed by name.
 - ``oracle_sql()``: matching ANSI SQL for the DuckDB oracle (same column
   names/types; floats rounded identically on both sides). Rows-only

@@ -84,32 +84,48 @@ def extract_features(media: DataFrame) -> DataFrame:
     (width/height for visual, sample_rate/duration for audio)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rates = np.asarray(_SAMPLE_RATES, dtype=np.int64)
         for pdf in it:
+            n = len(pdf)
             md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
-            n_bytes = [len(p) for p in pdf["payload"]]
-            rows = []
-            for doc_id, mtype, md5_hex, nb in zip(
-                pdf["doc_id"], pdf["media_type"], md5s, n_bytes
-            ):
-                w, h = _fake_dims(md5_hex)
-                sr = _SAMPLE_RATES[int(md5_hex[:8], 16) % 4]
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_type": mtype,
-                        "n_bytes": nb,
-                        "payload_md5": md5_hex,
-                        "width": w if mtype in ("image", "video") else None,
-                        "height": h if mtype in ("image", "video") else None,
-                        "sample_rate": sr if mtype == "audio" else None,
-                        "duration_sec": (
-                            nb / 1024.0
-                            if mtype == "audio"
-                            else nb / 2048.0 if mtype == "video" else None
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            n_bytes = np.fromiter(
+                (len(p) for p in pdf["payload"]), dtype=np.int64, count=n
+            )
+            h1 = np.fromiter(
+                (int(m[:8], 16) for m in md5s), dtype=np.int64, count=n
+            )
+            h2 = np.fromiter(
+                (int(m[8:16], 16) for m in md5s), dtype=np.int64, count=n
+            )
+            mtype = pdf["media_type"].to_numpy()
+            visual = (mtype == "image") | (mtype == "video")
+            audio = mtype == "audio"
+            video = mtype == "video"
+            # nullable dtypes keep non-applicable metadata NULL (not NaN)
+            # through the Arrow boundary, matching the r20 row-dict path
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": mtype,
+                    "n_bytes": n_bytes,
+                    "payload_md5": md5s,
+                    "width": pd.Series(h1 % 1920 + 1, dtype="Int32").where(
+                        visual
+                    ),
+                    "height": pd.Series(h2 % 1080 + 1, dtype="Int32").where(
+                        visual
+                    ),
+                    "sample_rate": pd.Series(
+                        rates[h1 % 4], dtype="Int32"
+                    ).where(audio),
+                    "duration_sec": pd.Series(
+                        np.where(video, n_bytes / 2048.0, n_bytes / 1024.0),
+                        dtype="Float64",
+                    ).where(audio | video),
+                }
+            )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 

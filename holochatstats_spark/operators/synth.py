@@ -141,8 +141,19 @@ SYNTH_CHANNELS_SQL = """
 
 
 def synthetic_messages(events: DataFrame) -> DataFrame:
-    """The Spark twin of SYNTH_MESSAGES_SQL (expects load_table's events)."""
+    """The Spark twin of SYNTH_MESSAGES_SQL (expects load_table's events).
+
+    ONE scan (guide §1.2): the r20 shape was a UNION ALL of two events
+    scans (parent rows + the filtered burst branch) — every consumer of
+    the messages frame paid the file twice. Now each event explodes into
+    1 + (BURST_SIZE if selected else 0) rows in a single pass: i = 0 is
+    the parent row, i ≥ 1 the i-th burst row. Row set is identical to the
+    SQL twin's UNION ALL (row order differs; no consumer is
+    order-sensitive before its own ORDER BY / aggregate).
+    """
     eid = F.col("event_id")
+    i = F.col("i")
+    is_parent = i == 0
 
     def _pick(pool: list[Column], mod: int) -> Column:
         return F.element_at(F.array(*pool), (eid % mod).cast("int") + 1)
@@ -154,7 +165,16 @@ def synthetic_messages(events: DataFrame) -> DataFrame:
     badge_arr = [F.lit(b) for b, _ in BADGES]
     rank_arr = [F.lit(r) for _, r in BADGES]
 
+    n_rows = F.when(
+        eid % BURST_MOD == BURST_REM, F.lit(BURST_SIZE)
+    ).otherwise(F.lit(0))
     return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.explode(F.sequence(F.lit(0), n_rows)).alias("i"),
+    ).select(
         F.col("event_type").alias("channel_id"),
         F.concat(
             F.col("event_type"), F.lit("_"), F.date_format("ts", "yyyy-MM-dd")
@@ -162,54 +182,26 @@ def synthetic_messages(events: DataFrame) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id")).alias("user_id"),
         F.concat(F.lit("user "), F.col("user_id")).alias("username"),
         F.col("ts"),
-        eid.alias("seq"),
-        F.when(eid % 20 == 0, "gift_member")
+        F.when(is_parent, eid)
+        .otherwise(-(eid * BURST_SIZE + (i - 1).cast("long") + 1))
+        .alias("seq"),
+        F.when(~is_parent, "new_member")
+        .when(eid % 20 == 0, "gift_member")
         .when(eid % 20 == 1, "new_member")
         .when(eid % 20 == 2, "paid_message")
         .otherwise("chat")
         .alias("message_type"),
-        F.when(eid % 20 == 0, F.lit(None).cast("string"))
+        F.when(~is_parent | (eid % 20 == 0), F.lit(None).cast("string"))
         .otherwise(_pick(badge_arr, N_BADGE))
         .alias("badge_text"),
-        F.when(eid % 20 == 0, F.lit(-2))
+        F.when(~is_parent | (eid % 20 == 0), F.lit(-2))
         .otherwise(_pick(rank_arr, N_BADGE))
         .cast("int")
         .alias("membership_rank"),
-        F.when((eid % 20).isin(0, 1), F.lit(None).cast("string"))
+        F.when(~is_parent | (eid % 20).isin(0, 1), F.lit(None).cast("string"))
         .otherwise(_pick(cat_arr, N_MSG))
         .alias("message_category"),
-        _pick(msg_arr, N_MSG).alias("message"),
-    ).unionAll(_burst_messages(events))
-
-
-def _burst_messages(events: DataFrame) -> DataFrame:
-    """Spark twin of the burst UNION ALL branch of SYNTH_MESSAGES_SQL."""
-    eid = F.col("event_id")
-    i = F.col("i")
-    return (
-        events.where(eid % BURST_MOD == BURST_REM)
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "ts",
-            F.explode(F.sequence(F.lit(0), F.lit(BURST_SIZE - 1))).alias("i"),
-        )
-        .select(
-            F.col("event_type").alias("channel_id"),
-            F.concat(
-                F.col("event_type"), F.lit("_"), F.date_format("ts", "yyyy-MM-dd")
-            ).alias("video_id"),
-            F.concat(F.lit("u"), F.col("user_id")).alias("user_id"),
-            F.concat(F.lit("user "), F.col("user_id")).alias("username"),
-            F.col("ts"),
-            (-(eid * BURST_SIZE + i.cast("long") + 1)).alias("seq"),
-            F.lit("new_member").alias("message_type"),
-            F.lit(None).cast("string").alias("badge_text"),
-            F.lit(-2).cast("int").alias("membership_rank"),
-            F.lit(None).cast("string").alias("message_category"),
-            F.lit("").alias("message"),
-        )
+        F.when(is_parent, _pick(msg_arr, N_MSG)).otherwise("").alias("message"),
     )
 
 

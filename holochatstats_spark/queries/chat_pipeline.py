@@ -429,20 +429,23 @@ def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vids = _video_stats(msgs)
-    ud = build_user_data(msgs)
-    last_chat = ud.groupBy("channel_id", "video_id").agg(
-        F.max(F.unix_timestamp("last_message_at")).alias("last_epoch")
-    )
+    # last_chat ≡ vids.end_epoch: the oracle's last_chat CTE is
+    # MAX(last_message_at) over ud per (channel, video), and ud's
+    # last_message_at is MAX(ts) per (channel, video, user) — the max of
+    # per-user maxima over all users IS the per-video MAX(ts), which
+    # _video_stats already computes as end_epoch (member events advance
+    # both the same way). r20 rebuilt the ENTIRE silver aggregate (a full
+    # extra msgs groupBy + its scan) just to re-derive that column; the
+    # oracle keeps the ud CTE and the hash is unchanged. Guide §1.2.
     return (
         vids.join(F.broadcast(synthetic_channels(ev)), "channel_id")
-        .join(last_chat, ["channel_id", "video_id"])
         .join(funniest, ["channel_id", "video_id"])
         .select(
             "channel_name",
             "video_id",
             F.col("funniest_epoch").cast("bigint").alias("funniest_epoch"),
             (
-                F.col("funniest_epoch") - F.col("last_epoch") + F.col("duration_sec")
+                F.col("funniest_epoch") - F.col("end_epoch") + F.col("duration_sec")
             )
             .cast("bigint")
             .alias("relative_ts"),
@@ -564,9 +567,11 @@ def streaming_hours_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     msgs = synthetic_messages(ev)
     vids = _video_stats(msgs)
-    ignored = (
-        msgs.select("video_id").distinct().where(F.col("video_id").endswith("-15"))
-    )
+    # the ignore list is a set of video_ids, and vids already holds one row
+    # per video — derive it there instead of a second msgs scan + distinct
+    # (r20 re-ran the whole synth lineage for it). The P8 left_anti shape
+    # is unchanged; only the (equivalent) source of the small side moved.
+    ignored = vids.select("video_id").where(F.col("video_id").endswith("-15"))
     kept = vids.join(ignored, "video_id", "left_anti")
     hours = F.col("duration_sec") / 3600.0
     monthly = kept.groupBy(
@@ -647,19 +652,28 @@ def exclusive_group_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = user_activity(
         build_user_data(synthetic_messages(ev)), synthetic_channels(ev)
     )
-    per_user = ua.groupBy("user_id", "channel_group", "observed_month").agg(
-        F.min("channel_id").alias("only_channel"),
-        F.countDistinct("channel_id").alias("n_channels"),
+    # one pass over ua: collect each user's channel set per (group, month);
+    # exclusives read size()==1 sets, totals explode the same sets (a
+    # channel belongs to exactly one group, so each (user, channel, month)
+    # appears once → count(*) == the r20 COUNT(DISTINCT user_id)). r20
+    # aggregated ua twice (per_user + totals). array_min == the oracle's
+    # MIN(channel_id) pick. Guide §1.2.
+    sets = ua.groupBy("user_id", "channel_group", "observed_month").agg(
+        F.collect_set("channel_id").alias("chs")
     )
     exclusives = (
-        per_user.where(F.col("n_channels") == 1)
+        sets.where(F.size("chs") == 1)
         .groupBy(
-            F.col("only_channel").alias("channel_id"), "observed_month"
+            F.array_min("chs").alias("channel_id"), "observed_month"
         )
         .agg(F.count("*").cast("bigint").alias("n_exclusive"))
     )
-    totals = ua.groupBy("channel_id", "observed_month").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_total")
+    totals = (
+        sets.select(
+            "observed_month", F.explode("chs").alias("channel_id")
+        )
+        .groupBy("channel_id", "observed_month")
+        .agg(F.count("*").cast("bigint").alias("n_total"))
     )
     return (
         totals.join(exclusives, ["channel_id", "observed_month"], "left")
@@ -870,6 +884,11 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
         ).alias("num_highlights"),
     )
     elapsed = epoch - F.col("start_epoch")
+    # start_epoch / num_highlights are constant per (channel, video): carry
+    # them through the bucket aggregate (max of a constant) instead of
+    # re-joining `eligible` after it — the r20 second join re-derived the
+    # whole per-video stats lineage (another full msgs aggregate; 21
+    # Exchange / 7 FileScan nodes in the printed plan). Guide §2.4/§1.2.
     safe = (
         msgs.join(eligible, ["channel_id", "video_id"])
         .where(
@@ -880,22 +899,22 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
             "channel_id",
             "video_id",
             elapsed.alias("elapsed"),
+            "start_epoch",
+            "num_highlights",
         )
     )
     activity = safe.groupBy(
         "channel_id", "video_id", F.expr("elapsed div 15").alias("bucket")
-    ).agg(F.count("*").cast("bigint").alias("n_msgs"))
+    ).agg(
+        F.count("*").cast("bigint").alias("n_msgs"),
+        F.max("start_epoch").alias("start_epoch"),
+        F.max("num_highlights").alias("num_highlights"),
+    )
     w_r = Window.partitionBy("channel_id", "video_id").orderBy(
         F.desc("n_msgs"), F.asc("bucket")
     )
     ranked = (
-        activity.join(
-            eligible.select(
-                "channel_id", "video_id", "start_epoch", "num_highlights"
-            ),
-            ["channel_id", "video_id"],
-        )
-        .withColumn("rn", F.row_number().over(w_r))
+        activity.withColumn("rn", F.row_number().over(w_r))
         .where((F.col("rn") <= F.col("num_highlights")) & (F.col("n_msgs") > 9))
     )
     return (

@@ -70,17 +70,25 @@ SIMHASH_BAND_BITS = 15  # 4×15 = the full 60-bit hash (textops.SIMHASH_BITS)
     tags=("bench",),
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates via bucket grouping instead of a buckets self-join: the
+    signature pandas_udf (operators/ann.py) ran once per join side in r20
+    (Python-UDF subtrees never canonicalize equal, so AQE could not reuse
+    the stage). One pass → collect_list per (band, band_val) bucket →
+    double-explode ordered pairs → distinct. The exact-cosine verify joins
+    stay id-keyed against the raw embeddings per the guide-§8 rule: shuffle
+    candidate ids (proxies), not the vectors. Same pair set, same oracle.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(emb, "vec_id", "embedding", EMB_DIM)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    buckets = (
+        lsh_buckets(emb, "vec_id", "embedding", EMB_DIM)
+        .groupBy("band", "band_val")
+        .agg(F.collect_list("vec_id").alias("members"))
+        .where(F.size("members") >= 2)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        buckets.select(F.col("members"), F.explode("members").alias("vec_a"))
+        .select(F.col("vec_a"), F.explode("members").alias("vec_b"))
+        .where(F.col("vec_a") < F.col("vec_b"))
         .distinct()
     )
     e = emb.select(
@@ -129,6 +137,18 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-band pairs via bucket grouping, not a bands self-join.
+
+    r20 shape: bands ⋈ bands on (band, bv). Python-UDF subtrees are never
+    canonicalized equal, so AQE could not reuse the simhash stage across
+    the two join sides — AND the join-key null filters pushed below the
+    udf duplicated its evaluation per side (guide §4.4): the executed plan
+    carried FOUR ArrowEvalPython nodes, each hashing all docs. Now the
+    signature pipeline runs ONCE: posexplode the 4 band values, group each
+    (band, bv) bucket with collect_list, double-explode ordered pairs,
+    Hamming-filter BEFORE the dedup (pure function of the pair), distinct.
+    Same pair set and hamming values; the DuckDB twin is unchanged.
+    """
     hashes = simhash_df(spark, sf_dir)
     band_arr = F.array(
         *[
@@ -139,27 +159,29 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = hashes.select(
-        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "bv")
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("m"),
+        F.posexplode(band_arr).alias("band", "bv"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.collect_list("m").alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    pairs = (
+        buckets.select(F.col("members"), F.explode("members").alias("a"))
+        .select(F.col("a"), F.explode("members").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        pairs.where(hamming <= HAMMING_THRESHOLD)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            hamming.alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    return (
-        cand.where(hamming <= HAMMING_THRESHOLD)
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )

@@ -96,20 +96,29 @@ def common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs in one shuffle: distinct (type, user) self-joined on user.
-    Per-user fanout is bounded by #types (5), so no skew blowup."""
+    """All pairs from each user's type set — no self-join. Per-user fanout
+    is bounded by #types² (25), same as the r20 m⋈m join.
+
+    r20 referenced the distinct (type, user) membership three ways (join
+    sides + sizes): 24 Exchange / 3 FileScan nodes. Now one
+    collect_set per user, double-explode for every ordered (type_a,
+    type_b) pair including the diagonal — and the diagonal count IS
+    |members(type_a)|, so the sizes table is the matrix's own diagonal
+    instead of a second aggregate over the membership lineage. Same
+    counts, unchanged DuckDB twin. Guide §2.4/§1.2.
+    """
     ev = load_table(spark, sf_dir, "events")
-    membership = ev.select("event_type", "user_id").distinct()
-    sizes = membership.groupBy("event_type").agg(F.count("*").alias("n"))
-    m1 = membership.alias("m1")
-    m2 = membership.alias("m2")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
     pairs = (
-        m1.join(m2, "user_id")
-        .groupBy(
-            F.col("m1.event_type").alias("type_a"),
-            F.col("m2.event_type").alias("type_b"),
-        )
+        per_user.select(F.col("types"), F.explode("types").alias("type_a"))
+        .select(F.col("type_a"), F.explode("types").alias("type_b"))
+        .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_common"))
+    )
+    sizes = pairs.where(F.col("type_a") == F.col("type_b")).select(
+        F.col("type_a").alias("event_type"), F.col("n_common").alias("n")
     )
     return (
         pairs.join(F.broadcast(sizes), pairs.type_a == sizes.event_type)

@@ -87,29 +87,45 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 )
 def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exercises F10 log_dampen (functions/core.py:log_dampen) at data
-    scale — one self-join for the similarity matrix, one groupBy for the
-    per-user score sums, a per-user window for top-10."""
+    scale — per-user postings drive everything, a per-user window for
+    top-10.
+
+    r20 shape referenced the per-(user, type) weight table `w` SIX ways
+    (self-join sides, norms, nuc, scores, own), re-deriving the events
+    scan + groupBy each time (60 Exchange / 7 FileScan nodes in the
+    printed plan). Now `w` is built once, rolled into per-user postings
+    (collect_list over the already-user-clustered frame), and: the
+    type×type dot matrix comes from ONE double-explode of the postings
+    (its diagonal IS the squared norms — no separate norms pass); the
+    per-user channel count and own-participation weights ride along as
+    size() + map_from_entries() in a single join. Same scores, same
+    threshold filter, same top-10; unchanged DuckDB twin. Guide §2.4/§1.2.
+    """
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy("user_id", "event_type").agg(
         F.count("*").cast("double").alias("cnt")
     )
-    norms = w.groupBy("event_type").agg(
-        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    peruser = w.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "cnt")).alias("ms")
     )
-    w1, w2 = w.alias("w1"), w.alias("w2")
-    dots = (
-        w1.join(w2, "user_id")
-        .groupBy(
-            F.col("w1.event_type").alias("type_a"),
-            F.col("w2.event_type").alias("type_b"),
-        )
-        .agg(F.sum(F.col("w1.cnt") * F.col("w2.cnt")).alias("dot"))
+    # full type×type matrix (diagonal included, both directions) — exactly
+    # the r20 w1⋈w2-on-user_id pair set
+    pairs = (
+        peruser.select(F.col("ms"), F.explode("ms").alias("a"))
+        .select(F.col("a"), F.explode("ms").alias("b"))
+    )
+    d = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    norms = d.where(F.col("type_a") == F.col("type_b")).select(
+        F.col("type_a").alias("event_type"), F.sqrt("dot").alias("nrm")
     )
     na, nb = norms.alias("na"), norms.alias("nb")
     sims = (
-        dots.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
+        d.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
         .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
         .select(
             "type_a",
@@ -119,22 +135,25 @@ def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    nuc = w.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_ch"))
     scores = (
         w.join(F.broadcast(sims), w.event_type == sims.type_a)
         .groupBy("user_id", F.col("type_b").alias("channel"))
         .agg(F.sum("sim").alias("raw_score"))
     )
-    own = w.select("user_id", F.col("event_type").alias("channel"), "cnt")
-    filtered = scores.join(own, ["user_id", "channel"], "left").where(
-        F.coalesce(F.col("cnt"), F.lit(0.0)) <= PARTICIPATION_EXCLUSION_THRESHOLD
+    meta = peruser.select(
+        "user_id",
+        F.size("ms").cast("bigint").alias("n_ch"),
+        F.map_from_entries("ms").alias("own_cnt"),
+    )
+    filtered = scores.join(meta, "user_id").where(
+        F.coalesce(F.element_at(F.col("own_cnt"), F.col("channel")), F.lit(0.0))
+        <= PARTICIPATION_EXCLUSION_THRESHOLD
     )
     w_rank = Window.partitionBy("user_id").orderBy(
         F.desc("raw_score"), F.asc("channel")
     )
     return (
-        filtered.join(nuc, "user_id")
-        .withColumn("rn", F.row_number().over(w_rank))
+        filtered.withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= 10)
         .select(
             "user_id",
@@ -200,50 +219,68 @@ def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocab selection is orderBy().limit() — TakeOrdered over the term
-    stats, never a global sort; everything downstream of the cap joins
-    against the broadcast 500-term vocab."""
+    stats, never a global sort.
+
+    r20 shape recomputed the tokenize→explode→tf lineage SIX ways (vocab,
+    n_docs, wts×3 via the norms read + the dots self-join): 24 FileScan /
+    105 Exchange nodes in the printed plan, and Catalyst re-optimized that
+    whole tree every run. Now the per-term (lang, tf) postings ride along
+    the term-stats aggregate as a collect_list, the 500-term vocab keeps
+    them through the TakeOrdered cap, and dot products AND norms both come
+    from ONE double-explode of the per-term postings (self-pairs a=b are
+    the squared-norm terms; a<b the dots) — the token lineage is built
+    exactly once. Same weights, same cosine contract (6dp round absorbs
+    summation-order drift, same as the cross-engine contract), unchanged
+    DuckDB twin. Guide §2.4/§1.2.
+    """
     docs = load_table(spark, sf_dir, "documents").withColumn("t", F.expr(_TOKS))
-    unigrams = docs.select("lang", F.explode("t").alias("term"))
-    bigrams = docs.where(F.expr("size(t) >= 2")).select(
-        "lang",
-        F.explode(
-            F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")
-        ).alias("term"),
+    # uni+bigrams in ONE explode (r20 unioned two scans of documents)
+    grams = F.expr(
+        "concat(t, CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) "
+        "ELSE array() END)"
     )
     clean = (
-        unigrams.unionAll(bigrams)
+        docs.select("lang", F.explode(grams).alias("term"))
         .where((F.col("term") != "") & ~F.col("term").isin(*_STOPWORDS))
     )
     tf = clean.groupBy("lang", "term").agg(F.count("*").cast("double").alias("tf"))
     vocab = (
         tf.groupBy("term")
-        .agg(F.sum("tf").alias("total"), F.count("*").alias("df"))
+        .agg(
+            F.sum("tf").alias("total"),
+            F.count("*").alias("df"),
+            F.collect_list(F.struct("lang", "tf")).alias("postings"),
+        )
         .orderBy(F.desc("total"), F.asc("term"))
         .limit(VOCAB_SIZE)
     )
     n_docs = tf.agg(F.countDistinct("lang").cast("double").alias("n"))
-    wts = (
-        tf.join(F.broadcast(vocab), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "lang",
-            "term",
-            (
-                F.col("tf")
-                * (
-                    F.log((1.0 + F.col("n")) / (1.0 + F.col("df").cast("double")))
-                    + 1.0
-                )
-            ).alias("wt"),
-        )
+    idf = (
+        F.log((1.0 + F.col("n")) / (1.0 + F.col("df").cast("double"))) + 1.0
     )
-    norms = wts.groupBy("lang").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
-    a, b = wts.alias("a"), wts.alias("b")
-    dots = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.lang") < F.col("b.lang")))
-        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
-        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    weighted = vocab.crossJoin(F.broadcast(n_docs)).select(
+        F.transform(
+            "postings",
+            lambda m: F.struct(
+                m.lang.alias("lang"), (m.tf * idf).alias("wt")
+            ),
+        ).alias("ms")
     )
+    pairs = (
+        weighted.select(F.col("ms"), F.explode("ms").alias("a"))
+        .select(F.col("a"), F.explode("ms").alias("b"))
+        .where(F.col("a.lang") <= F.col("b.lang"))
+    )
+    # one aggregate carries both the dot products (lang_a < lang_b) and the
+    # squared norms (the diagonal lang_a = lang_b)
+    d = pairs.groupBy(
+        F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+    ).agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    norms = d.where(F.col("lang_a") == F.col("lang_b")).select(
+        F.col("lang_a").alias("lang"), F.sqrt("dot").alias("nrm")
+    )
+    dots = d.where(F.col("lang_a") < F.col("lang_b"))
     na, nb = norms.alias("na"), norms.alias("nb")
     return (
         dots.join(F.broadcast(na), F.col("lang_a") == F.col("na.lang"))
@@ -331,34 +368,44 @@ def _threshold_edges(sims: DataFrame) -> DataFrame:
 
 
 def _type_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise cosine over event-type user vectors (V1 long form)."""
+    """Pairwise cosine over event-type user vectors (V1 long form).
+
+    Postings shape (same rewrite as type_cosine_similarity): one per-user
+    collect_list, double-explode a≤b, the diagonal of the summed matrix
+    doubles as the squared norms — replaces the r20 w⋈w self-join + norms
+    pass that re-derived the weight lineage four times."""
     ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy("user_id", "event_type").agg(
         F.count("*").cast("double").alias("cnt")
     )
-    norms = w.groupBy("event_type").agg(
-        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    peruser = w.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "cnt")).alias("ms")
     )
-    w1, w2 = w.alias("w1"), w.alias("w2")
+    pairs = (
+        peruser.select(F.col("ms"), F.explode("ms").alias("a"))
+        .select(F.col("a"), F.explode("ms").alias("b"))
+        .where(F.col("a.event_type") <= F.col("b.event_type"))
+    )
+    d = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    norms = d.where(F.col("type_a") == F.col("type_b")).select(
+        F.col("type_a").alias("event_type"), F.sqrt("dot").alias("nrm")
+    )
     na, nb = norms.alias("na"), norms.alias("nb")
     return (
-        w1.join(
-            w2,
-            (F.col("w1.user_id") == F.col("w2.user_id"))
-            & (F.col("w1.event_type") < F.col("w2.event_type")),
-        )
-        .join(F.broadcast(na), F.col("na.event_type") == F.col("w1.event_type"))
-        .join(F.broadcast(nb), F.col("nb.event_type") == F.col("w2.event_type"))
-        .groupBy(
-            F.col("w1.event_type").alias("type_a"),
-            F.col("w2.event_type").alias("type_b"),
-        )
-        .agg(
+        d.where(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(na), F.col("na.event_type") == F.col("type_a"))
+        .join(F.broadcast(nb), F.col("nb.event_type") == F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
             F.round(
-                F.sum(F.col("w1.cnt") * F.col("w2.cnt"))
-                / F.nullif(F.max(F.col("na.nrm")) * F.max(F.col("nb.nrm")), F.lit(0.0)),
+                F.col("dot")
+                / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)),
                 6,
-            ).alias("cosine_sim")
+            ).alias("cosine_sim"),
         )
     )
 

@@ -346,29 +346,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df_cnt") <= MAX_SHINGLE_DF)
         .drop("df_cnt")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    commons = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
+    # carry each doc's post-cap shingle count on the row (window keyed by
+    # doc_id) instead of a separate `sizes` aggregate: r20 re-derived the
+    # whole shingle lineage three times (self-join sides + sizes) and
+    # force-broadcast the per-doc sizes table — per-doc cardinality, so
+    # unbroadcastable at 100 TB (VERDICT r20 item 7). Now the lineage runs
+    # once and the sizes travel with the pair rows.
+    sh = sh.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    buckets = (
+        sh.groupBy("lang", "shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("members"))
+        .where(F.size("members") >= 2)
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pairs = (
+        buckets.select(F.col("members"), F.explode("members").alias("a"))
+        .select(F.col("a"), F.explode("members").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    commons = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+    ).agg(F.count("*").alias("n_common"))
     jac = F.col("n_common") * 1.0 / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        commons.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= 0.1)
+        commons.where(jac >= 0.1)
         .select("doc_a", "doc_b", "n_common", round_half_up(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -452,6 +457,22 @@ _EST_DUCK = (
     tags=("bench",),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs via bucket grouping, not a bands self-join.
+
+    r20 shape: bands ⋈ bands on (band, band_sig) plus two more joins back
+    to sig for the agreement count — the sig lineage (shingle explode +
+    16-min groupBy) appeared FOUR times in the plan (24 Exchange / 4
+    FileScan nodes; AQE deduped some shuffles at runtime but re-ran every
+    post-exchange stage). Now: ONE sig pass carrying the full signature
+    array, posexplode to (band, band_sig) rows, group each bucket with
+    collect_list, and emit ordered pairs by double-explode — the agreement
+    count is pure integer zip_with on the two carried arrays, and the
+    final groupBy(doc_a, doc_b, est) replaces distinct-then-rejoin. Same
+    candidate set (pairs sharing ≥1 band bucket), same est_jaccard (k/16
+    is exact in binary, so the 4dp round is tie-free), hash-identical to
+    the unchanged DuckDB twin. Guide §2.4 (remove shuffles), §1.2 (don't
+    recompute what you already have).
+    """
     sh = _shingle_df(spark, sf_dir).drop("lang")
     hashed = sh.select(
         "doc_id",
@@ -478,35 +499,38 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_HASHES // BAND_SIZE)
         ]
     )
+    mhs = F.array(*[F.col(f"mh{i}") for i in range(1, N_HASHES + 1)])
     bands = sig.select(
-        "doc_id", F.posexplode(band_sigs).alias("band", "band_sig")
+        F.struct(F.col("doc_id"), mhs.alias("mhs")).alias("m"),
+        F.posexplode(band_sigs).alias("band", "band_sig"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.collect_list("m").alias("members"))
+        .where(F.size("members") >= 2)
     )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    agree = None
-    for i in range(1, N_HASHES + 1):
-        term = F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
+    pairs = (
+        buckets.select(F.col("members"), F.explode("members").alias("a"))
+        .select(F.col("a"), F.explode("members").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "a.mhs", "b.mhs", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.round(agree / float(N_HASHES), 4).alias("est_jaccard"),
         )
+        # est_jaccard is a pure function of the pair, so the 3-column
+        # distinct dedupes multi-band collisions exactly like the r20
+        # distinct-on-pairs + signature re-join did
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -570,7 +594,15 @@ def _simhash_udf():
     """Arrow-batched (doc tokens) -> 60-bit simhash. Pure integer math:
     md5-hex[0:15] as int (identical bytes in every md5 implementation),
     numpy int64 sign sums — bit-identical to the SQL twin regardless of
-    batch or summation order."""
+    batch or summation order.
+
+    Vectorized per batch (guide §4.2): the whole batch's tokens are
+    flattened once, factorized to a unique vocabulary (md5 computed once
+    per unique token), and the per-doc sign sums come from ONE
+    np.add.reduceat over the ±1 bit matrix — equivalent to the per-doc
+    count×sign sums (each occurrence contributes its token's ±1 row), with
+    zero Python-level per-row work. The r20 version looped doc-by-doc and
+    token-by-token in Python (~n_tokens dict ops per doc)."""
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
@@ -579,23 +611,32 @@ def _simhash_udf():
 
     @pandas_udf("bigint")
     def _sh(toks: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
-        out = np.zeros(len(toks), dtype=np.int64)
-        for i, arr in enumerate(toks):
-            counts: dict[str, int] = {}
-            for t in arr:
-                counts[t] = counts.get(t, 0) + 1
-            hs = np.empty(len(counts), dtype=np.int64)
-            cs = np.empty(len(counts), dtype=np.int64)
-            for k, (t, c) in enumerate(counts.items()):
-                h = cache.get(t)
-                if h is None:
-                    h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                    cache[t] = h
-                hs[k], cs[k] = h, c
-            bits = (hs[:, None] >> shifts) & 1  # (k, 60)
-            sums = (cs[:, None] * (2 * bits - 1)).sum(axis=0)
-            out[i] = int(((sums > 0).astype(np.int64) << shifts).sum())
+        n = len(toks)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        arrs = [np.asarray(a, dtype=object) for a in toks]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.int64)
+        nonzero = lens > 0
+        if not nonzero.any():
+            return pd.Series(out)
+        flat = np.concatenate([a for a in arrs if len(a)])
+        codes, uniques = pd.factorize(flat)
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for t in uniques
+            ),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        signs = 2 * ((hs[:, None] >> shifts) & 1) - 1  # (u, 60) of ±1
+        contrib = signs[codes]  # (n_occurrences, 60)
+        nz_lens = lens[nonzero]
+        offsets = np.zeros(len(nz_lens), dtype=np.int64)
+        np.cumsum(nz_lens[:-1], out=offsets[1:])
+        sums = np.add.reduceat(contrib, offsets, axis=0)  # (n_nonzero, 60)
+        out[nonzero] = ((sums > 0).astype(np.int64) << shifts).sum(axis=1)
         return pd.Series(out)
 
     return _sh

@@ -116,24 +116,36 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def type_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Never materializes the wide user×type matrix (SURVEY §7: A13 must
-    stay long at 100 TB) — one self-join on user_id does all pairs."""
+    stay long at 100 TB) — all pairs come from each user's postings list.
+
+    r20 ran a w⋈w self-join on user_id plus a separate norms pass — the
+    per-(type, user) weight lineage appeared four times (33 Exchange / 4
+    FileScan nodes). Now one per-user collect_list feeds a double-explode
+    (a.type ≤ b.type): the diagonal of the resulting type×type sum IS the
+    squared norms, so ONE aggregate yields both dots and norms. Per-user
+    fanout is bounded by #types, same as the join. Same rounded cosines,
+    unchanged DuckDB twin. Guide §2.4/§1.2.
+    """
     ev = load_table(spark, sf_dir, "events")
     w = ev.groupBy("event_type", "user_id").agg(
         F.count("*").cast("double").alias("cnt")
     )
-    norms = w.groupBy("event_type").agg(
-        F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))).alias("nrm")
+    peruser = w.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "cnt")).alias("ms")
     )
-    w1, w2 = w.alias("w1"), w.alias("w2")
-    dots = (
-        w1.join(w2, "user_id")
-        .where(F.col("w1.event_type") < F.col("w2.event_type"))
-        .groupBy(
-            F.col("w1.event_type").alias("type_a"),
-            F.col("w2.event_type").alias("type_b"),
-        )
-        .agg(F.sum(F.col("w1.cnt") * F.col("w2.cnt")).alias("dot"))
+    pairs = (
+        peruser.select(F.col("ms"), F.explode("ms").alias("a"))
+        .select(F.col("a"), F.explode("ms").alias("b"))
+        .where(F.col("a.event_type") <= F.col("b.event_type"))
     )
+    d = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    norms = d.where(F.col("type_a") == F.col("type_b")).select(
+        F.col("type_a").alias("event_type"), F.sqrt("dot").alias("nrm")
+    )
+    dots = d.where(F.col("type_a") < F.col("type_b"))
     na = norms.alias("na")
     nb = norms.alias("nb")
     return (
