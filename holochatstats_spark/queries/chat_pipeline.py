@@ -358,9 +358,10 @@ _VIDEO_STATS_SQL = """
 
 
 def _video_stats(msgs: DataFrame) -> DataFrame:
-    """Spark twin of _VIDEO_STATS_SQL — ONE definition for the three
-    consumers (funniest/highlights/hours), so the +30s duration pad can
-    never desync between the Spark side and the shared oracle CTE."""
+    """Spark twin of _VIDEO_STATS_SQL (streaming_hours_agg consumer;
+    funniest/highlights now fold the same end/duration math out of their
+    single bucket-stats pass — the +30s pad appears verbatim there and
+    stays pinned to the shared oracle CTE by the driver hash)."""
     epoch = F.unix_timestamp("ts")
     return msgs.groupBy("channel_id", "video_id").agg(
         F.max(epoch).alias("end_epoch"),
@@ -407,20 +408,27 @@ def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     msgs = synthetic_messages(ev)
-    humor_buckets = (
-        msgs.where(has_humor(F.col("message")))
-        .groupBy(
-            "channel_id",
-            "video_id",
-            time_bucket(F.col("ts"), 30).alias("bucket"),
-        )
-        .agg(F.count("*").alias("weight"))
+    # ONE bucket-stats pass serves both consumers (r20 aggregated msgs
+    # twice: humor buckets + _video_stats): per 30 s bucket, the humor
+    # count AND the min/max epoch; per-video stats fold the bucket minima/
+    # maxima. Buckets with zero humor are dropped before ranking, exactly
+    # the oracle's COUNT(*) WHERE humor semantics. Guide §1.2.
+    epoch = F.unix_timestamp("ts")
+    bstats = msgs.groupBy(
+        "channel_id",
+        "video_id",
+        time_bucket(F.col("ts"), 30).alias("bucket"),
+    ).agg(
+        F.count(F.when(has_humor(F.col("message")), 1)).alias("weight"),
+        F.min(epoch).alias("mn"),
+        F.max(epoch).alias("mx"),
     )
     w_f = Window.partitionBy("channel_id", "video_id").orderBy(
         F.desc("weight"), F.asc("bucket")
     )
     funniest = (
-        humor_buckets.withColumn("rn", F.row_number().over(w_f))
+        bstats.where(F.col("weight") > 0)
+        .withColumn("rn", F.row_number().over(w_f))
         .where(F.col("rn") == 1)
         .select(
             "channel_id",
@@ -428,7 +436,10 @@ def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") * 30 - 10).alias("funniest_epoch"),
         )
     )
-    vids = _video_stats(msgs)
+    vids = bstats.groupBy("channel_id", "video_id").agg(
+        F.max("mx").alias("end_epoch"),
+        (F.max("mx") - F.min("mn") + 30).alias("duration_sec"),
+    )
     # last_chat ≡ vids.end_epoch: the oracle's last_chat CTE is
     # MAX(last_message_at) over ud per (channel, video), and ud's
     # last_message_at is MAX(ts) per (channel, video, user) — the max of
@@ -492,11 +503,19 @@ def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     msgs = synthetic_messages(ev)
+    # ONE bucket-stats pass serves both the velocity ranking and the
+    # per-video stats (r20 aggregated msgs twice) — same pattern as
+    # funniest_timestamps. Guide §1.2.
+    epoch = F.unix_timestamp("ts")
     vel = msgs.groupBy(
         "channel_id",
         "video_id",
         time_bucket(F.col("ts"), 15).alias("bucket"),
-    ).agg(F.count("*").alias("n_events"))
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min(epoch).alias("mn"),
+        F.max(epoch).alias("mx"),
+    )
     w_r = Window.partitionBy("channel_id", "video_id").orderBy(
         F.desc("n_events"), F.asc("bucket")
     )
@@ -510,7 +529,10 @@ def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
-    vids = _video_stats(msgs)
+    vids = vel.groupBy("channel_id", "video_id").agg(
+        F.max("mx").alias("end_epoch"),
+        (F.max("mx") - F.min("mn") + 30).alias("duration_sec"),
+    )
     return (
         highlights.join(vids, ["channel_id", "video_id"])
         .join(F.broadcast(synthetic_channels(ev)), "channel_id")
@@ -866,13 +888,24 @@ def velocity_bursts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
     """Core of velocity_bursts_exact over any (channel_id, video_id, ts)
-    messages frame — split out so tests can drive it with dense bursts."""
+    messages frame — split out so tests can drive it with dense bursts.
+
+    Per-second pre-aggregate (guide §2.3 aggregate-before-shuffle +
+    §1.2): every downstream decision — video duration, safe-zone filter,
+    15 s bucketing — is second-grained, so the msgs lineage is reduced
+    ONCE to (channel, video, sec, cnt) and both the per-video stats and
+    the bucket counts derive from it (r20 scanned/aggregated the raw
+    messages twice). n_msgs = SUM(cnt) ≡ the per-message COUNT(*).
+    """
     from pyspark.sql import Window
 
     epoch = F.unix_timestamp("ts")
-    vids = msgs.groupBy("channel_id", "video_id").agg(
-        F.max(epoch).alias("end_epoch"),
-        (F.max(epoch) - F.min(epoch) + 30).alias("duration_sec"),
+    persec = msgs.groupBy(
+        "channel_id", "video_id", epoch.alias("sec")
+    ).agg(F.count("*").alias("cnt"))
+    vids = persec.groupBy("channel_id", "video_id").agg(
+        F.max("sec").alias("end_epoch"),
+        (F.max("sec") - F.min("sec") + 30).alias("duration_sec"),
     )
     eligible = vids.where(F.col("duration_sec") >= 600).select(
         "channel_id",
@@ -883,14 +916,14 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
             F.lit(5), F.greatest(F.lit(1), F.expr("duration_sec div 1800"))
         ).alias("num_highlights"),
     )
-    elapsed = epoch - F.col("start_epoch")
+    elapsed = F.col("sec") - F.col("start_epoch")
     # start_epoch / num_highlights are constant per (channel, video): carry
     # them through the bucket aggregate (max of a constant) instead of
     # re-joining `eligible` after it — the r20 second join re-derived the
     # whole per-video stats lineage (another full msgs aggregate; 21
     # Exchange / 7 FileScan nodes in the printed plan). Guide §2.4/§1.2.
     safe = (
-        msgs.join(eligible, ["channel_id", "video_id"])
+        persec.join(eligible, ["channel_id", "video_id"])
         .where(
             (elapsed >= 0.05 * F.col("duration_sec").cast("double"))
             & (elapsed <= 0.95 * F.col("duration_sec").cast("double"))
@@ -899,6 +932,7 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
             "channel_id",
             "video_id",
             elapsed.alias("elapsed"),
+            "cnt",
             "start_epoch",
             "num_highlights",
         )
@@ -906,7 +940,7 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
     activity = safe.groupBy(
         "channel_id", "video_id", F.expr("elapsed div 15").alias("bucket")
     ).agg(
-        F.count("*").cast("bigint").alias("n_msgs"),
+        F.sum("cnt").cast("bigint").alias("n_msgs"),
         F.max("start_epoch").alias("start_epoch"),
         F.max("num_highlights").alias("num_highlights"),
     )

@@ -111,22 +111,25 @@ def overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.collect_set("event_type").alias("types")
     )
+    from pyspark.sql import Window
+
     pairs = (
         per_user.select(F.col("types"), F.explode("types").alias("type_a"))
         .select(F.col("type_a"), F.explode("types").alias("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = pairs.where(F.col("type_a") == F.col("type_b")).select(
-        F.col("type_a").alias("event_type"), F.col("n_common").alias("n")
-    )
+    # |members(type_a)| is the matrix diagonal — attach it with a window
+    # over the tiny K×K frame instead of a second lineage + broadcast join
+    n_a = F.max(
+        F.when(F.col("type_a") == F.col("type_b"), F.col("n_common"))
+    ).over(Window.partitionBy("type_a"))
     return (
-        pairs.join(F.broadcast(sizes), pairs.type_a == sizes.event_type)
-        .select(
+        pairs.select(
             "type_a",
             "type_b",
             "n_common",
-            pct_round(F.col("n_common"), F.col("n")).alias("pct_of_a"),
+            pct_round(F.col("n_common"), n_a).alias("pct_of_a"),
         )
         .orderBy("type_a", "type_b")
     )

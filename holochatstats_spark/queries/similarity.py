@@ -120,17 +120,15 @@ def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
     ).agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
-    norms = d.where(F.col("type_a") == F.col("type_b")).select(
-        F.col("type_a").alias("event_type"), F.sqrt("dot").alias("nrm")
-    )
-    na, nb = norms.alias("na"), norms.alias("nb")
+    # diagonal windows attach the norms without re-deriving `d`
+    diag = F.max(F.when(F.col("type_a") == F.col("type_b"), F.col("dot")))
     sims = (
-        d.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
-        .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
+        d.withColumn("na", F.sqrt(diag.over(Window.partitionBy("type_a"))))
+        .withColumn("nb", F.sqrt(diag.over(Window.partitionBy("type_b"))))
         .select(
             "type_a",
             "type_b",
-            (F.col("dot") / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0))).alias(
+            (F.col("dot") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))).alias(
                 "sim"
             ),
         )
@@ -273,23 +271,24 @@ def tfidf_lang_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a.lang") <= F.col("b.lang"))
     )
     # one aggregate carries both the dot products (lang_a < lang_b) and the
-    # squared norms (the diagonal lang_a = lang_b)
+    # squared norms (the diagonal lang_a = lang_b); the norms are attached
+    # by two windows over the tiny K×K matrix instead of broadcast joins,
+    # so the `d` lineage is planned (and run) exactly once
+    from pyspark.sql import Window
+
     d = pairs.groupBy(
         F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
     ).agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
-    norms = d.where(F.col("lang_a") == F.col("lang_b")).select(
-        F.col("lang_a").alias("lang"), F.sqrt("dot").alias("nrm")
-    )
-    dots = d.where(F.col("lang_a") < F.col("lang_b"))
-    na, nb = norms.alias("na"), norms.alias("nb")
+    diag = F.max(F.when(F.col("lang_a") == F.col("lang_b"), F.col("dot")))
     return (
-        dots.join(F.broadcast(na), F.col("lang_a") == F.col("na.lang"))
-        .join(F.broadcast(nb), F.col("lang_b") == F.col("nb.lang"))
+        d.withColumn("na", F.sqrt(diag.over(Window.partitionBy("lang_a"))))
+        .withColumn("nb", F.sqrt(diag.over(Window.partitionBy("lang_b"))))
+        .where(F.col("lang_a") < F.col("lang_b"))
         .select(
             "lang_a",
             "lang_b",
             F.round(
-                F.col("dot") / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)), 6
+                F.col("dot") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
             ).alias("tfidf_cosine"),
         )
         .orderBy("lang_a", "lang_b")
@@ -386,24 +385,23 @@ def _type_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a"), F.explode("ms").alias("b"))
         .where(F.col("a.event_type") <= F.col("b.event_type"))
     )
+    from pyspark.sql import Window
+
     d = pairs.groupBy(
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
     ).agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
-    norms = d.where(F.col("type_a") == F.col("type_b")).select(
-        F.col("type_a").alias("event_type"), F.sqrt("dot").alias("nrm")
-    )
-    na, nb = norms.alias("na"), norms.alias("nb")
+    diag = F.max(F.when(F.col("type_a") == F.col("type_b"), F.col("dot")))
     return (
-        d.where(F.col("type_a") < F.col("type_b"))
-        .join(F.broadcast(na), F.col("na.event_type") == F.col("type_a"))
-        .join(F.broadcast(nb), F.col("nb.event_type") == F.col("type_b"))
+        d.withColumn("na", F.sqrt(diag.over(Window.partitionBy("type_a"))))
+        .withColumn("nb", F.sqrt(diag.over(Window.partitionBy("type_b"))))
+        .where(F.col("type_a") < F.col("type_b"))
         .select(
             "type_a",
             "type_b",
             F.round(
                 F.col("dot")
-                / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)),
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
         )

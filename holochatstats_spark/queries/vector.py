@@ -138,24 +138,24 @@ def type_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a"), F.explode("ms").alias("b"))
         .where(F.col("a.event_type") <= F.col("b.event_type"))
     )
+    from pyspark.sql import Window
+
     d = pairs.groupBy(
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
     ).agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
-    norms = d.where(F.col("type_a") == F.col("type_b")).select(
-        F.col("type_a").alias("event_type"), F.sqrt("dot").alias("nrm")
-    )
-    dots = d.where(F.col("type_a") < F.col("type_b"))
-    na = norms.alias("na")
-    nb = norms.alias("nb")
+    # norms attached via diagonal windows over the tiny K×K matrix — the
+    # `d` lineage is planned and run exactly once (no norms re-derivation)
+    diag = F.max(F.when(F.col("type_a") == F.col("type_b"), F.col("dot")))
     return (
-        dots.join(F.broadcast(na), F.col("type_a") == F.col("na.event_type"))
-        .join(F.broadcast(nb), F.col("type_b") == F.col("nb.event_type"))
+        d.withColumn("na", F.sqrt(diag.over(Window.partitionBy("type_a"))))
+        .withColumn("nb", F.sqrt(diag.over(Window.partitionBy("type_b"))))
+        .where(F.col("type_a") < F.col("type_b"))
         .select(
             "type_a",
             "type_b",
             F.round(
-                F.col("dot") / F.nullif(F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)),
+                F.col("dot") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
         )

@@ -85,6 +85,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_lsh_signature_udf_runs_once(spark, registry):
+    # r21 rewrite: candidate pairs come from bucket collect_list +
+    # double-explode, not a bands self-join — Python-UDF subtrees never
+    # canonicalize equal, so the old self-join ran the Arrow signature
+    # udf once per side (and filter pushdown doubled it again: 4
+    # ArrowEvalPython nodes for simhash). Exactly ONE evaluation must
+    # survive refactors.
+    from holochatstats_spark.plans.audit import executed_plan
+
+    for name in ("simhash_neardup_pairs", "embedding_neardup_lsh"):
+        plan = executed_plan(registry[name].build(spark, SF))
+        n = plan.count("ArrowEvalPython")
+        assert n == 1, f"{name}: expected 1 ArrowEvalPython, found {n}"
+
+
+def test_rewritten_queries_scan_input_once(spark, registry):
+    # r21 single-lineage rewrites: the input table(s) must appear in the
+    # plan a bounded number of times (r20 recomputed these lineages 3-6x:
+    # tfidf_lang_similarity had 24 FileScan nodes, minhash 4, overlap 3).
+    from holochatstats_spark.plans.audit import executed_plan
+
+    max_scans = {
+        "minhash_lsh_pairs": 1,
+        "simhash_neardup_pairs": 1,
+        "ngram_jaccard_pairs": 1,
+        "doc_token_stats": 1,
+        "type_cosine_similarity": 1,
+        "overlap_matrix": 1,
+        "tfidf_lang_similarity": 2,  # terms lineage + the n_docs scalar
+        "recommend_topk": 3,
+        "a1_user_data": 1,
+    }
+    for name, cap in max_scans.items():
+        plan = executed_plan(registry[name].build(spark, SF))
+        n = plan.count("FileScan")
+        assert n <= cap, f"{name}: {n} FileScans (cap {cap})"
+
+
 def test_salted_agg_matches_plain_agg(spark):
     # skew-salting equivalence: two-stage (key, salt) -> key aggregation
     # must produce exactly the plain groupBy result
