@@ -70,17 +70,29 @@ SIMHASH_BAND_BITS = 15  # 4×15 = the full 60-bit hash (textops.SIMHASH_BITS)
     tags=("bench",),
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidates via bucket grouping instead of a buckets self-join: the
+    """Registered entry — the production pipeline over the embeddings
+    table (see lsh_neardup_pairs for the shape notes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, EMB_DIM, COSINE_THRESHOLD)
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame, dim: int = EMB_DIM, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """LSH near-dup pairs over any (vec_id, embedding) frame.
+
+    Candidates via bucket grouping instead of a buckets self-join: the
     signature pandas_udf (operators/ann.py) ran once per join side in r20
     (Python-UDF subtrees never canonicalize equal, so AQE could not reuse
     the stage). One pass → collect_list per (band, band_val) bucket →
     double-explode ordered pairs → distinct. The exact-cosine verify joins
     stay id-keyed against the raw embeddings per the guide-§8 rule: shuffle
     candidate ids (proxies), not the vectors. Same pair set, same oracle.
+    Split out so tests/test_ann_recall.py drives the PRODUCTION pipeline
+    over a planted frame (VERDICT r20 item 3).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     buckets = (
-        lsh_buckets(emb, "vec_id", "embedding", EMB_DIM)
+        lsh_buckets(emb, "vec_id", "embedding", dim)
         .groupBy("band", "band_val")
         .agg(F.collect_list("vec_id").alias("members"))
         .where(F.size("members") >= 2)
@@ -103,7 +115,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
         .join(eb, F.col("vec_b") == F.col("eb.vec_id"))
-        .where(sim > COSINE_THRESHOLD)
+        .where(sim > threshold)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
         .orderBy("vec_a", "vec_b")
     )
