@@ -393,11 +393,17 @@ def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         assign_sim.desc(), F.col("bucket").asc()
     )
+    # the window shuffle already carries the full embedding (the assign
+    # similarity needs it), so keep label/embedding/nrm on the surviving
+    # rn=1 row instead of re-joining e by vec_id afterwards — one fewer
+    # join and one fewer embeddings lineage; vec_id 0 is excluded up
+    # front (it only feeds q), which is safe under partitionBy(vec_id)
     assign = (
-        e.crossJoin(F.broadcast(centn))
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(centn))
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("vec_id", "bucket")
+        .select("vec_id", "label", "embedding", "nrm", "bucket")
     )
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm")
@@ -418,9 +424,7 @@ def ivf_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        e.where(F.col("vec_id") != 0)
-        .join(assign, "vec_id")
-        .join(F.broadcast(probes), "bucket")
+        assign.join(F.broadcast(probes), "bucket")
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", "bucket", sim.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
