@@ -683,33 +683,35 @@ def exclusive_group_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = ua.groupBy("user_id", "channel_group", "observed_month").agg(
         F.collect_set("channel_id").alias("chs")
     )
-    exclusives = (
-        sets.where(F.size("chs") == 1)
-        .groupBy(
-            F.array_min("chs").alias("channel_id"), "observed_month"
-        )
-        .agg(F.count("*").cast("bigint").alias("n_exclusive"))
+    # ONE explode serves both counts (the r21-first cut still aggregated
+    # `sets` twice — exclusives + totals — replaying the gold lineage per
+    # reference): each exploded row carries whether its source set was a
+    # singleton, so n_exclusive is a conditional sum in the same groupBy
+    # that produces n_total. Membership is identical to the oracle's
+    # totals LEFT JOIN exclusives — a size-1 set's only channel always
+    # appears in totals, and groups with no singleton sets get the same 0
+    # the COALESCE produced.
+    exploded = sets.select(
+        "observed_month",
+        F.explode("chs").alias("channel_id"),
+        (F.size("chs") == 1).alias("is_excl"),
     )
-    totals = (
-        sets.select(
-            "observed_month", F.explode("chs").alias("channel_id")
-        )
-        .groupBy("channel_id", "observed_month")
-        .agg(F.count("*").cast("bigint").alias("n_total"))
+    counts = exploded.groupBy("channel_id", "observed_month").agg(
+        F.sum(F.when(F.col("is_excl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exclusive"),
+        F.count("*").cast("bigint").alias("n_total"),
     )
     return (
-        totals.join(exclusives, ["channel_id", "observed_month"], "left")
-        .join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        counts.join(F.broadcast(synthetic_channels(ev)), "channel_id")
         .select(
             "channel_name",
             "observed_month",
-            F.coalesce(F.col("n_exclusive"), F.lit(0)).cast("bigint").alias(
-                "n_exclusive"
-            ),
+            "n_exclusive",
             "n_total",
-            pct_round(
-                F.coalesce(F.col("n_exclusive"), F.lit(0)), F.col("n_total")
-            ).alias("pct_exclusive"),
+            pct_round(F.col("n_exclusive"), F.col("n_total")).alias(
+                "pct_exclusive"
+            ),
         )
         .orderBy("channel_name", "observed_month")
     )
@@ -782,31 +784,40 @@ def membership_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "membership_rank",
         F.lag("membership_rank").over(w_lag).alias("prev_rank"),
     )
-    g = (
-        mc.where((F.col("prev_rank") == -1) & (F.col("membership_rank") != -1))
-        .groupBy("channel_id", "observed_month")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("gains_count"))
+    # one pass over mc instead of two (the g/l CTEs each replayed the
+    # whole synthetic+window lineage): conditional COUNT(DISTINCT) per
+    # transition kind, keeping only rows that are a gain or a loss before
+    # the shuffle. A (channel, month) group survives iff it had at least
+    # one gain or loss row — exactly the membership of the oracle's
+    # g FULL JOIN l (groups absent from both CTEs never appear there
+    # either), and the missing side's COALESCE(x, 0) equals the
+    # conditional count's 0 over no qualifying rows.
+    is_gain = (F.col("prev_rank") == -1) & (F.col("membership_rank") != -1)
+    is_loss = (
+        F.col("prev_rank").isNotNull()
+        & (F.col("prev_rank") != -1)
+        & (F.col("membership_rank") == -1)
     )
-    l = (
-        mc.where(
-            F.col("prev_rank").isNotNull()
-            & (F.col("prev_rank") != -1)
-            & (F.col("membership_rank") == -1)
-        )
+    gl = (
+        mc.where(is_gain | is_loss)
         .groupBy("channel_id", "observed_month")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("losses_count"))
+        .agg(
+            F.countDistinct(F.when(is_gain, F.col("user_id")))
+            .cast("bigint")
+            .alias("gains_count"),
+            F.countDistinct(F.when(is_loss, F.col("user_id")))
+            .cast("bigint")
+            .alias("losses_count"),
+        )
     )
     return (
-        g.join(l, ["channel_id", "observed_month"], "full")
-        .join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        gl.join(F.broadcast(synthetic_channels(ev)), "channel_id")
         .select(
             "channel_name",
             "observed_month",
-            F.coalesce("gains_count", F.lit(0)).alias("gains_count"),
-            F.coalesce("losses_count", F.lit(0)).alias("losses_count"),
-            (F.coalesce("gains_count", F.lit(0)) - F.coalesce("losses_count", F.lit(0))).alias(
-                "differential"
-            ),
+            "gains_count",
+            "losses_count",
+            (F.col("gains_count") - F.col("losses_count")).alias("differential"),
         )
         .orderBy(F.desc("differential"), "channel_name", "observed_month")
     )

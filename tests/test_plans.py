@@ -116,6 +116,10 @@ def test_rewritten_queries_scan_input_once(spark, registry):
         "tfidf_lang_similarity": 2,  # terms lineage + the n_docs scalar
         "recommend_topk": 3,
         "a1_user_data": 1,
+        # r21 second pass: one conditional aggregate replaces the g/l
+        # (resp. exclusives/totals) re-aggregation of the same lineage
+        "membership_changes": 2,
+        "exclusive_group_users": 3,
     }
     for name, cap in max_scans.items():
         plan = executed_plan(registry[name].build(spark, SF))
