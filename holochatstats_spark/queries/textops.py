@@ -472,7 +472,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact in binary, so the 4dp round is tie-free), hash-identical to
     the unchanged DuckDB twin. Guide §2.4 (remove shuffles), §1.2 (don't
     recompute what you already have).
+
+    r22: pair generation goes through the hot-bucket guard in
+    operators/pairs.py (chunked aggregation + AQE-splittable self-join) so
+    a degenerate (band, band_sig) bucket cannot OOM one collect_list row
+    or serialize O(m^2) pair emission on one task (VERDICT r21 item 1).
+    Still a single signature pass; same pair set.
     """
+    from holochatstats_spark.operators.pairs import bucket_pairs
+
     sh = _shingle_df(spark, sf_dir).drop("lang")
     hashed = sh.select(
         "doc_id",
@@ -504,16 +512,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("doc_id"), mhs.alias("mhs")).alias("m"),
         F.posexplode(band_sigs).alias("band", "band_sig"),
     )
-    buckets = (
-        bands.groupBy("band", "band_sig")
-        .agg(F.collect_list("m").alias("members"))
-        .where(F.size("members") >= 2)
-    )
-    pairs = (
-        buckets.select(F.col("members"), F.explode("members").alias("a"))
-        .select(F.col("a"), F.explode("members").alias("b"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-    )
+    pairs = bucket_pairs(bands, ["band", "band_sig"], "m", "doc_id")
     agree = F.aggregate(
         F.zip_with(
             "a.mhs", "b.mhs", lambda x, y: F.when(x == y, 1).otherwise(0)
