@@ -140,8 +140,6 @@ def linear_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def ewm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from holochatstats_spark.functions.core import round_half_up
 
     o = load_table(spark, sf_dir, "orders")
@@ -149,47 +147,63 @@ def ewm_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("series"),
         F.date_trunc("month", F.col("o_orderdate")).alias("m"),
     ).agg(F.sum("o_totalprice").alias("x"))
-    w_s = Window.partitionBy("series")
-    idx = monthly.select(
-        "series",
-        "x",
-        (F.row_number().over(w_s.orderBy("m")) - 1).alias("i"),
-        F.count("*").over(w_s).alias("n"),
-        F.min("x").over(w_s).alias("mn"),
-        F.max("x").over(w_s).alias("mx"),
-    )
+    # r22 (guide §2.4): the r21 shape ran a 4-function window over
+    # (series) and THEN a 6-aggregate groupBy — two sorted shuffles of the
+    # monthly rows. A series is bounded by the calendar (one row per
+    # month), so ONE sorted collect_list per series holds the whole curve
+    # and every windowed quantity becomes a higher-order array expression:
+    # row_number i = array position, min/max/count = array_min/max/size,
+    # the weighted mean / stddev_pop / first-last trend are folds. Numeric
+    # parity with the window formulation is NOT automatic (fold order vs
+    # distributed sum order, two-pass vs Welford variance) — it is gated
+    # by the oracle hash at sf0.001/sf0.01/sf0.1, all of which pass at the
+    # rounded output precision.
     # guards (mirrored in the oracle): a constant series (mx == mn) scales
     # to flat 0.5 instead of 0/0 — the reference jitters with random noise
     # there (nondeterministic, forecaster.py:183-185); a 1-month series
     # gets weight 1.0 instead of exp(0/0)=NaN poisoning the unused branch
-    scaled = idx.select(
+    arr = monthly.groupBy("series").agg(
+        F.sort_array(F.collect_list(F.struct("m", "x"))).alias("pts")
+    )
+    xs = F.transform(F.col("pts"), lambda e: e["x"])
+    base = arr.select(
         "series",
-        "i",
-        "n",
+        F.size("pts").alias("n_i"),
+        F.array_min(xs).alias("mn"),
+        F.array_max(xs).alias("mx"),
+        xs.alias("xs"),
+    )
+    n_d = F.col("n_i").cast("double")
+    s_arr = F.transform(
+        "xs",
+        lambda x: F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+            F.lit(0.1)
+            + F.lit(0.8) * (x - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        ),
+    )
+    scaled = base.select("series", "n_i", "mn", "mx", s_arr.alias("s"))
+    wgt = lambda i: (  # noqa: E731 — exp-linspace weight at position i
+        F.when(
+            F.col("n_i") > 1,
+            F.exp(F.lit(-1.0) + i.cast("double") / (n_d - F.lit(1.0))),
+        ).otherwise(F.lit(1.0))
+    )
+    fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    s_sum = fsum(F.col("s"))
+    sw_sum = fsum(F.transform("s", lambda v, i: v * wgt(i)))
+    w_sum = fsum(F.transform("s", lambda v, i: wgt(i)))
+    mean = s_sum / n_d
+    var = fsum(F.transform("s", lambda v: (v - mean) * (v - mean))) / n_d
+    fit = scaled.select(
+        "series",
+        F.col("n_i").cast("bigint").alias("n_months"),
         "mn",
         "mx",
-        F.when(F.col("mx") == F.col("mn"), 0.5)
-        .otherwise(
-            0.1 + 0.8 * (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn"))
-        )
-        .alias("s"),
-        F.when(F.col("n") > 1, F.exp(-1.0 + F.col("i") / (F.col("n") - 1.0)))
-        .otherwise(F.lit(1.0))
-        .alias("w"),
-    )
-    fit = scaled.groupBy("series").agg(
-        F.max("n").cast("bigint").alias("n_months"),
-        F.max("mn").alias("mn"),
-        F.max("mx").alias("mx"),
+        F.when(F.col("n_i") >= 3, sw_sum / w_sum).otherwise(mean).alias("wm"),
+        F.when(F.col("n_i") > 1, F.sqrt(var)).otherwise(F.lit(0.1)).alias("sd"),
         F.when(
-            F.max("n") >= 3, F.sum(F.col("s") * F.col("w")) / F.sum("w")
-        )
-        .otherwise(F.avg("s"))
-        .alias("wm"),
-        F.when(F.max("n") > 1, F.stddev_pop("s")).otherwise(F.lit(0.1)).alias("sd"),
-        F.when(
-            F.max("n") >= 2,
-            (F.max_by("s", "i") - F.min_by("s", "i")) / F.max("n"),
+            F.col("n_i") >= 2,
+            (F.element_at("s", F.col("n_i")) - F.element_at("s", 1)) / F.col("n_i"),
         )
         .otherwise(F.lit(0.0))
         .alias("trend"),

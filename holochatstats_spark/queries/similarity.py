@@ -93,13 +93,20 @@ def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r20 shape referenced the per-(user, type) weight table `w` SIX ways
     (self-join sides, norms, nuc, scores, own), re-deriving the events
     scan + groupBy each time (60 Exchange / 7 FileScan nodes in the
-    printed plan). Now `w` is built once, rolled into per-user postings
-    (collect_list over the already-user-clustered frame), and: the
-    type×type dot matrix comes from ONE double-explode of the postings
-    (its diagonal IS the squared norms — no separate norms pass); the
-    per-user channel count and own-participation weights ride along as
-    size() + map_from_entries() in a single join. Same scores, same
-    threshold filter, same top-10; unchanged DuckDB twin. Guide §2.4/§1.2.
+    printed plan). r21 cut that to three lineage passes (postings for the
+    matrix, `w` for scores, postings again for the meta join) — and the
+    driver measured 0.68x. r22: the per-user postings are consumed
+    exactly TWICE — once to build the broadcast type×type matrix (ONE
+    double-explode whose diagonal IS the squared norms), once re-exploded
+    to score — and the per-user channel count / own-participation map
+    ride ON the scoring rows, so the separate meta join disappears and
+    the participation-exclusion filter runs BEFORE the score aggregation.
+    The filter commutes with the groupBy: its predicate is a pure function
+    of (user_id, channel) — constant across each group — so it drops
+    whole groups, never individual addends. Both postings consumers share
+    one aggregated subtree (identical exchanges, reused at runtime). Same
+    scores, same threshold filter, same top-10; unchanged DuckDB twin.
+    Guide §2.4/§1.2.
     """
     from pyspark.sql import Window
 
@@ -133,19 +140,26 @@ def recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scores = (
-        w.join(F.broadcast(sims), w.event_type == sims.type_a)
-        .groupBy("user_id", F.col("type_b").alias("channel"))
-        .agg(F.sum("sim").alias("raw_score"))
-    )
-    meta = peruser.select(
+    exploded = peruser.select(
         "user_id",
         F.size("ms").cast("bigint").alias("n_ch"),
         F.map_from_entries("ms").alias("own_cnt"),
+        F.explode("ms").alias("a"),
     )
-    filtered = scores.join(meta, "user_id").where(
-        F.coalesce(F.element_at(F.col("own_cnt"), F.col("channel")), F.lit(0.0))
-        <= PARTICIPATION_EXCLUSION_THRESHOLD
+    # null-safe join key: a plain `=` would infer isnotnull(event_type)
+    # and push it below the postings aggregation, splitting the two
+    # consumers' subtrees so the runtime stage reuse is lost (guide §4.4
+    # class); event_type is never null, so `<=>` is result-identical
+    filtered = (
+        exploded.join(
+            F.broadcast(sims), F.col("a.event_type").eqNullSafe(sims.type_a)
+        )
+        .where(
+            F.coalesce(F.element_at(F.col("own_cnt"), F.col("type_b")), F.lit(0.0))
+            <= PARTICIPATION_EXCLUSION_THRESHOLD
+        )
+        .groupBy("user_id", "n_ch", F.col("type_b").alias("channel"))
+        .agg(F.sum("sim").alias("raw_score"))
     )
     w_rank = Window.partitionBy("user_id").orderBy(
         F.desc("raw_score"), F.asc("channel")
