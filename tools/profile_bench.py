@@ -34,11 +34,19 @@ def main() -> None:
     os.makedirs(plans_dir, exist_ok=True)
 
     registry = load_all_queries()
+    unknown = only - set(registry)
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {sorted(unknown)}; "
+            f"known: {sorted(registry)}"
+        )
     names = sorted(
         n
         for n, q in registry.items()
         if (n in only if only else "bench" in q.tags)
     )
+    if not names:
+        sys.exit("no queries selected (registry has no bench-tagged queries)")
 
     spark = get_spark("holochatstats-profile")
     spark.sparkContext.setLogLevel("ERROR")
