@@ -423,34 +423,52 @@ def funniest_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(epoch).alias("mn"),
         F.max(epoch).alias("mx"),
     )
+    # r22 (guide §2.4): the per-video stats are max/min folds of the SAME
+    # bucket frame the ranking consumes, and the rank window is already
+    # partitioned by (channel, video) — so they ride the bucket rows as
+    # window columns over that one partitioning instead of a second
+    # aggregate + join-back (the r21 shape's vids groupBy shuffled bstats
+    # again and re-joined it). The stats windows run BEFORE the weight>0
+    # filter, so zero-humor buckets still feed end_epoch/duration exactly
+    # as the vids aggregate did; a (channel, video) group survives to the
+    # output iff it has a weight>0 row — the same membership the inner
+    # funniest JOIN produced.
+    w_v = Window.partitionBy("channel_id", "video_id")
     w_f = Window.partitionBy("channel_id", "video_id").orderBy(
         F.desc("weight"), F.asc("bucket")
     )
+    # last_chat ≡ end_epoch: the oracle's last_chat CTE is
+    # MAX(last_message_at) over ud per (channel, video), and ud's
+    # last_message_at is MAX(ts) per (channel, video, user) — the max of
+    # per-user maxima over all users IS the per-video MAX(ts), which
+    # the bucket maxima fold to (member events advance both the same
+    # way). r20 rebuilt the ENTIRE silver aggregate (a full extra msgs
+    # groupBy + its scan) just to re-derive that column; the oracle keeps
+    # the ud CTE and the hash is unchanged. Guide §1.2.
     funniest = (
-        bstats.where(F.col("weight") > 0)
+        bstats.select(
+            "channel_id",
+            "video_id",
+            "bucket",
+            "weight",
+            F.max("mx").over(w_v).alias("end_epoch"),
+            (F.max("mx").over(w_v) - F.min("mn").over(w_v) + 30).alias(
+                "duration_sec"
+            ),
+        )
+        .where(F.col("weight") > 0)
         .withColumn("rn", F.row_number().over(w_f))
         .where(F.col("rn") == 1)
         .select(
             "channel_id",
             "video_id",
             (F.col("bucket") * 30 - 10).alias("funniest_epoch"),
+            "end_epoch",
+            "duration_sec",
         )
     )
-    vids = bstats.groupBy("channel_id", "video_id").agg(
-        F.max("mx").alias("end_epoch"),
-        (F.max("mx") - F.min("mn") + 30).alias("duration_sec"),
-    )
-    # last_chat ≡ vids.end_epoch: the oracle's last_chat CTE is
-    # MAX(last_message_at) over ud per (channel, video), and ud's
-    # last_message_at is MAX(ts) per (channel, video, user) — the max of
-    # per-user maxima over all users IS the per-video MAX(ts), which
-    # _video_stats already computes as end_epoch (member events advance
-    # both the same way). r20 rebuilt the ENTIRE silver aggregate (a full
-    # extra msgs groupBy + its scan) just to re-derive that column; the
-    # oracle keeps the ud CTE and the hash is unchanged. Guide §1.2.
     return (
-        vids.join(F.broadcast(synthetic_channels(ev)), "channel_id")
-        .join(funniest, ["channel_id", "video_id"])
+        funniest.join(F.broadcast(synthetic_channels(ev)), "channel_id")
         .select(
             "channel_name",
             "video_id",
@@ -516,26 +534,40 @@ def highlight_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(epoch).alias("mn"),
         F.max(epoch).alias("mx"),
     )
+    # r22 (guide §2.4): per-video end/duration ride the bucket rows as
+    # window columns over the SAME (channel, video) partitioning the rank
+    # window needs, replacing the r21 vids aggregate + join-back (one
+    # fewer shuffle of the bucket frame and no join). Every video has
+    # ≥1 bucket and rn <= 3 keeps ≥1 row per video, so the inner-join
+    # membership is unchanged.
+    w_v = Window.partitionBy("channel_id", "video_id")
     w_r = Window.partitionBy("channel_id", "video_id").orderBy(
         F.desc("n_events"), F.asc("bucket")
     )
     highlights = (
-        vel.withColumn("rn", F.row_number().over(w_r))
+        vel.select(
+            "channel_id",
+            "video_id",
+            "bucket",
+            "n_events",
+            F.max("mx").over(w_v).alias("end_epoch"),
+            (F.max("mx").over(w_v) - F.min("mn").over(w_v) + 30).alias(
+                "duration_sec"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_r))
         .where(F.col("rn") <= 3)
         .select(
             "channel_id",
             "video_id",
             (F.col("bucket") * 15).alias("start_epoch"),
             F.col("n_events").cast("bigint").alias("n_events"),
+            "end_epoch",
+            "duration_sec",
         )
     )
-    vids = vel.groupBy("channel_id", "video_id").agg(
-        F.max("mx").alias("end_epoch"),
-        (F.max("mx") - F.min("mn") + 30).alias("duration_sec"),
-    )
     return (
-        highlights.join(vids, ["channel_id", "video_id"])
-        .join(F.broadcast(synthetic_channels(ev)), "channel_id")
+        highlights.join(F.broadcast(synthetic_channels(ev)), "channel_id")
         .select(
             "channel_name",
             "video_id",
@@ -907,34 +939,48 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
     ONCE to (channel, video, sec, cnt) and both the per-video stats and
     the bucket counts derive from it (r20 scanned/aggregated the raw
     messages twice). n_msgs = SUM(cnt) ≡ the per-message COUNT(*).
+
+    r22 (guide §2.4 — two operations keyed the same way share one
+    exchange): everything after the per-second aggregate is keyed by
+    (channel, video) or a superset — the per-video stats, the safe-zone
+    filter, the 15 s bucket aggregate, the highlight rank window. The r21
+    shape re-shuffled for each (vids aggregate + join back + bucket
+    aggregate + rank window = 4 more exchanges). Now the small per-second
+    frame is hash-partitioned by (channel, video) ONCE; the per-video
+    stats become a window over that partitioning (same max/min values the
+    vids aggregate produced, so the eligible/safe-zone/num_highlights
+    math is unchanged row for row), and the bucket aggregate and rank
+    window run exchange-free because hashpartitioning(channel, video)
+    satisfies their (channel, video, ...) clustering. 6 → 3 exchanges;
+    the (channel, video) exchange moves per-second counts, never raw
+    messages, keeping the §2.3 map-side reduction intact (it is the
+    window's own required distribution, so AQE may still coalesce it).
+    Per-video window state is bounded by a video's duration in seconds.
     """
     from pyspark.sql import Window
 
     epoch = F.unix_timestamp("ts")
-    persec = msgs.groupBy(
-        "channel_id", "video_id", epoch.alias("sec")
-    ).agg(F.count("*").alias("cnt"))
-    vids = persec.groupBy("channel_id", "video_id").agg(
-        F.max("sec").alias("end_epoch"),
-        (F.max("sec") - F.min("sec") + 30).alias("duration_sec"),
+    persec = msgs.groupBy("channel_id", "video_id", epoch.alias("sec")).agg(
+        F.count("*").alias("cnt")
     )
-    eligible = vids.where(F.col("duration_sec") >= 600).select(
+    w_v = Window.partitionBy("channel_id", "video_id")
+    stats = persec.select(
         "channel_id",
         "video_id",
-        (F.col("end_epoch") - F.col("duration_sec")).alias("start_epoch"),
-        "duration_sec",
-        F.least(
-            F.lit(5), F.greatest(F.lit(1), F.expr("duration_sec div 1800"))
-        ).alias("num_highlights"),
+        "sec",
+        "cnt",
+        (F.max("sec").over(w_v) - F.min("sec").over(w_v) + 30).alias(
+            "duration_sec"
+        ),
+        (F.min("sec").over(w_v) - 30).alias("start_epoch"),
     )
     elapsed = F.col("sec") - F.col("start_epoch")
-    # start_epoch / num_highlights are constant per (channel, video): carry
-    # them through the bucket aggregate (max of a constant) instead of
-    # re-joining `eligible` after it — the r20 second join re-derived the
-    # whole per-video stats lineage (another full msgs aggregate; 21
-    # Exchange / 7 FileScan nodes in the printed plan). Guide §2.4/§1.2.
+    # start_epoch = end_epoch - duration_sec = min(sec) - 30, and
+    # start_epoch / num_highlights are constant per (channel, video):
+    # carry them through the bucket aggregate (max of a constant) instead
+    # of re-joining per-video stats after it (guide §2.4/§1.2).
     safe = (
-        persec.join(eligible, ["channel_id", "video_id"])
+        stats.where(F.col("duration_sec") >= 600)
         .where(
             (elapsed >= 0.05 * F.col("duration_sec").cast("double"))
             & (elapsed <= 0.95 * F.col("duration_sec").cast("double"))
@@ -945,7 +991,9 @@ def velocity_bursts_from(msgs: DataFrame, channels: DataFrame) -> DataFrame:
             elapsed.alias("elapsed"),
             "cnt",
             "start_epoch",
-            "num_highlights",
+            F.least(
+                F.lit(5), F.greatest(F.lit(1), F.expr("duration_sec div 1800"))
+            ).alias("num_highlights"),
         )
     )
     activity = safe.groupBy(

@@ -134,6 +134,12 @@ def test_rewritten_queries_scan_input_once(spark, registry):
         # (resp. exclusives/totals) re-aggregation of the same lineage
         "membership_changes": 2,
         "exclusive_group_users": 3,
+        # r22 one-partitioning rewrites: per-video stats ride the bucket
+        # rows as (channel, video) window columns — the vids re-aggregate
+        # + join-back (a 3rd scan of the msgs lineage) must not return
+        "velocity_bursts_exact": 2,
+        "funniest_timestamps": 2,
+        "highlight_windows": 2,
     }
     for name, cap in max_scans.items():
         plan = executed_plan(registry[name].build(spark, SF))
