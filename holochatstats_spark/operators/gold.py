@@ -90,18 +90,30 @@ def membership_summary(user_data: DataFrame, channels: DataFrame) -> DataFrame:
         .when(F.col("membership_rank") == -2, 1)
         .otherwise(2)
     )
-    # video_id is the deterministic tie-break: two same-class rows of one
-    # user can share last_message_at across videos; row_number must not
-    # depend on partition order (oracle hash parity)
-    w = Window.partitionBy("user_id", "channel_id", "observed_month_").orderBy(
-        rank_class.asc(), F.col("last_message_at").desc(), F.col("video_id").desc()
+    # The W1 "latest row per (user, channel, month)" pick only needs the
+    # winner's membership_rank, and its ordering — rank_class ASC,
+    # last_message_at DESC, video_id DESC — is a total order within the
+    # group (video_id is unique per (channel, video, user) silver row), so
+    # the row_number window (full sort of the silver frame + filter) is
+    # exactly a max_by over the order key with the class negated
+    # (max of -rank_class = min of rank_class; struct comparison is
+    # lexicographic, so the tie-breaks follow in order). An aggregate
+    # gets partial (map-side) combining before the shuffle — the window
+    # shipped and sorted every silver row (guide §2.3/§2.4; r22).
+    # video_id stays the deterministic tie-break: two same-class rows of
+    # one user can share last_message_at across videos; the pick must not
+    # depend on partition order (oracle hash parity).
+    order_key = F.struct(
+        (-rank_class).alias("neg_class"),
+        F.col("last_message_at"),
+        F.col("video_id"),
     )
     latest = (
         user_data.withColumn(
             "observed_month_", F.trunc(F.col("last_message_at"), "MM")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("user_id", "channel_id", "observed_month_")
+        .agg(F.max_by("membership_rank", order_key).alias("membership_rank"))
     )
     counts = latest.groupBy(
         "channel_id",
