@@ -483,18 +483,31 @@ def top_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A11,T7,W1",
 )
 def busiest_bucket_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupBy then per-user window over the (user, bucket) aggregate —
-    the window input is already reduced, so no windowing over raw facts."""
+    """groupBy then per-user argmax over the (user, bucket) aggregate —
+    the pick is already reduced, so no windowing over raw facts.
+
+    r22 (guide §2.3): the rn=1 window (sort every bucket row inside the
+    user partition) only needs the winning (bucket, n), and ORDER BY
+    n DESC, bucket ASC is a total order (bucket unique per user after the
+    aggregate), so it is a max_by over struct(n, -bucket) — an aggregate
+    that combines map-side before the shuffle instead of shipping and
+    sorting every bucket row. Same oracle, same rows.
+    """
     ev = load_table(spark, sf_dir, "events")
     buckets = ev.groupBy(
         "user_id", time_bucket(F.col("ts"), 1800).alias("bucket")
     ).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("bucket"))
+    best = F.max_by(
+        F.struct(F.col("bucket"), F.col("n")),
+        F.struct(F.col("n"), (-F.col("bucket")).alias("neg_bucket")),
+    )
     return (
-        buckets.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        buckets.groupBy("user_id")
+        .agg(best.alias("best"))
         .select(
-            "user_id", F.col("bucket").alias("busiest_bucket"), F.col("n").alias("n_events")
+            "user_id",
+            F.col("best.bucket").alias("busiest_bucket"),
+            F.col("best.n").alias("n_events"),
         )
         .orderBy("user_id")
     )

@@ -52,17 +52,23 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", 1)
         .otherwise(2)
     )
-    w = Window.partitionBy("user_id").orderBy(
-        prio.asc(), F.col("ts").desc(), F.col("event_id").desc()
+    # r22 (guide §2.3): ORDER BY prio ASC, ts DESC, event_id DESC is a
+    # total order (event_id unique), and only the winner's columns are
+    # kept — so the rn=1 window over the raw events (full per-user sort
+    # after the shuffle) is a max_by over struct(-prio, ts, event_id),
+    # which partially aggregates map-side before the exchange.
+    best = F.max_by(
+        F.struct("event_type", "ts", "value"),
+        F.struct((-prio).alias("neg_prio"), F.col("ts"), F.col("event_id")),
     )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        ev.groupBy("user_id")
+        .agg(best.alias("best"))
         .select(
             "user_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
-            round2(F.col("value")).alias("value"),
+            F.col("best.event_type").alias("event_type"),
+            F.date_format("best.ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            round2(F.col("best.value")).alias("value"),
         )
         .orderBy("user_id")
     )
@@ -173,17 +179,24 @@ def monthly_revenue_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    # r22 (guide §2.3): ORDER BY o_orderdate DESC, o_orderkey DESC is a
+    # total order (orderkey unique) and only the winner survives — the
+    # rn=1 window becomes a map-side-combining max_by over
+    # struct(o_orderdate, o_orderkey).
+    best = F.max_by(
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(best.alias("best"))
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
-            round2(F.col("o_totalprice")).alias("last_total_price"),
+            F.col("best.o_orderkey").alias("last_orderkey"),
+            F.date_format("best.o_orderdate", "yyyy-MM-dd").alias(
+                "last_order_date"
+            ),
+            round2(F.col("best.o_totalprice")).alias("last_total_price"),
         )
         .orderBy("o_custkey")
     )
