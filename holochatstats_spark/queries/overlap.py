@@ -164,28 +164,35 @@ def overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="J4,A8",
 )
 def exclusive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r22: the r21 `exclusive_group_users` single-pass pattern applied to
+    the plain variant — it still derived the events lineage twice
+    (per-user types + totals) and joined the two aggregates back. ONE
+    per-user `collect_set` explode carries an is_exclusive (size == 1)
+    flag, so both counts come from the same groupBy: each exploded row is
+    one distinct (user, type) membership, so rows-per-type = the oracle's
+    COUNT(DISTINCT user_id) totals, and a type absent from `exclusives`
+    gets the conditional count's 0 — exactly the LEFT JOIN's
+    COALESCE(n_exclusive, 0) (a singleton user's only type always appears
+    in totals, so the join never invented rows). Plan: 2 FileScans + a
+    join → 1 FileScan, no join. Guide §1.2/§2.4.
+    """
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min("event_type").alias("only_type"),
-        F.countDistinct("event_type").alias("n_types"),
+    sets = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
     )
-    exclusives = (
-        per_user.where(F.col("n_types") == 1)
-        .groupBy(F.col("only_type").alias("event_type"))
-        .agg(F.count("*").alias("n_exclusive"))
+    exploded = sets.select(
+        (F.size("types") == 1).alias("is_exclusive"),
+        F.explode("types").alias("event_type"),
     )
-    totals = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_total")
+    counts = exploded.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_exclusive"), 1))
+        .cast("bigint")
+        .alias("n_exclusive"),
+        F.count("*").cast("bigint").alias("n_total"),
     )
-    return (
-        totals.join(exclusives, "event_type", "left")
-        .select(
-            "event_type",
-            F.coalesce(F.col("n_exclusive"), F.lit(0)).cast("bigint").alias("n_exclusive"),
-            F.col("n_total").cast("bigint").alias("n_total"),
-            pct_round(F.coalesce(F.col("n_exclusive"), F.lit(0)), F.col("n_total")).alias(
-                "pct_exclusive"
-            ),
-        )
-        .orderBy("event_type")
-    )
+    return counts.select(
+        "event_type",
+        "n_exclusive",
+        "n_total",
+        pct_round(F.col("n_exclusive"), F.col("n_total")).alias("pct_exclusive"),
+    ).orderBy("event_type")
