@@ -140,6 +140,9 @@ def test_rewritten_queries_scan_input_once(spark, registry):
         "velocity_bursts_exact": 2,
         "funniest_timestamps": 2,
         "highlight_windows": 2,
+        # r22: one collect_set membership pass replaces two events
+        # lineages + a join
+        "exclusive_users": 1,
     }
     for name, cap in max_scans.items():
         plan = executed_plan(registry[name].build(spark, SF))
